@@ -1,0 +1,38 @@
+"""Cross-entropy with ignore-index and per-class weights, torch-semantics.
+
+Matches ``torch.nn.CrossEntropyLoss(weight=w, ignore_index=i)`` exactly:
+weighted mean = sum(w[y]*nll) / sum(w[y]) over non-ignored pixels.
+Used by the reference via LossWrapper (``losses/LossWrapper.py:20-31``) with
+hard-coded Cityscapes class weights.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Reference losses/LossWrapper.py:26-28 — the 19 Cityscapes CE class weights.
+CITYSCAPES_CE_WEIGHTS = (
+    0.8373, 0.918, 0.866, 1.0345, 1.0166, 0.9969, 0.9754, 1.0489,
+    0.8786, 1.0023, 0.9539, 0.9843, 1.1116, 0.9037, 1.0865, 1.0955,
+    1.0865, 1.1529, 1.0507,
+)
+
+
+def cross_entropy(logits: jnp.ndarray, target: jnp.ndarray, *,
+                  ignore_index: int = -100,
+                  class_weights: jnp.ndarray | None = None) -> jnp.ndarray:
+    """:param logits: (N, H, W, C) raw scores
+    :param target: (N, H, W) int labels; entries == ignore_index are excluded
+    """
+    c = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tgt = target.astype(jnp.int32)
+    valid = tgt != ignore_index
+    tgt_safe = jnp.where(valid, jnp.clip(tgt, 0, c - 1), 0)
+    nll = -jnp.take_along_axis(logp, tgt_safe[..., None], axis=-1)[..., 0]
+    if class_weights is not None:
+        w = jnp.asarray(class_weights, logits.dtype)[tgt_safe]
+    else:
+        w = jnp.ones_like(nll)
+    w = jnp.where(valid, w, 0.0)
+    return jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1e-12)

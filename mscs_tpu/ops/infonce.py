@@ -1,0 +1,139 @@
+"""Masked dense InfoNCE over sampled anchors — the contrastive-loss engine.
+
+Reference semantics (``losses/DenseContrastiveLossV2.py:127-192`` and the
+cross-scale variant ``DenseContrastiveLossV2_ms.py:84-161``), which are
+NON-standard in two ways that must be matched exactly:
+
+1. the denominator is ``exp(z_ij) + sum_neg exp(z_i·)`` — self term plus the
+   *negatives only*, not all pairs (ref :183-187);
+2. there is NO max-subtraction stabilisation (ref :181 comments it out); with
+   L2-normalised features and temperature t, |z| <= 1/t so exp stays finite
+   in fp32 for every configuration the reference ships (t = 0.1 -> e^10).
+
+The reference materialises the full (T·V)×(T·V) similarity matrix in HBM (up
+to 10000² fp32 = 400 MB — the reason its CLI grew an ``empty_cache`` flag).
+Here the matrix is streamed in row blocks: a `lax.scan` over row chunks with
+`jax.checkpoint`, so neither forward nor backward ever holds more than
+(chunk × M) logits.  A fused Pallas kernel for the same contraction lives in
+``ops/pallas_infonce.py``; this module is the portable XLA path and the
+ground truth the kernel is tested against.
+
+Masking model: anchors live in fixed-size slot arrays (see ``ops/sampling``)
+with a validity bit. Invalid rows/columns contribute nothing; row means
+divide by the *dynamic* valid count, reproducing the reference's dynamic
+shapes bit-for-bit.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """torch.nn.functional.normalize(p=2): x / max(||x||, eps)."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
+    return x / jnp.maximum(norm, eps)
+
+
+def _pick_chunk(m: int, want: int) -> int:
+    for c in (want, 1024, 512, 256, 128):
+        if c <= m and m % c == 0:
+            return c
+    return m
+
+
+def _row_block_loss(fa_blk, la_blk, va_blk, ia_blk,
+                    fb, lb, vb, ib, *,
+                    inv_temp, exclude_self, guard_zero_pos):
+    """Loss contributions of a block of anchor rows vs all columns.
+
+    Returns the summed per-row mean-log-prob-over-positives (only valid rows
+    contribute)."""
+    z = jnp.dot(fa_blk, fb.T, preferred_element_type=jnp.float32) * inv_temp
+    ez = jnp.exp(z)
+    pair_valid = va_blk[:, None] & vb[None, :]
+    same = la_blk[:, None] == lb[None, :]
+    pos = pair_valid & same
+    if exclude_self:
+        pos = pos & (ia_blk[:, None] != ib[None, :])
+    neg = pair_valid & jnp.logical_not(same)
+    posf = pos.astype(jnp.float32)
+    negf = neg.astype(jnp.float32)
+    neg_sum = jnp.sum(ez * negf, axis=1, keepdims=True)
+    log_prob = z - jnp.log(ez + neg_sum)
+    p = jnp.sum(posf, axis=1)
+    if guard_zero_pos:
+        denom = jnp.where(p > 0, p, 1.0)          # cross-scale guard (ref :148-152)
+    else:
+        # reference divides by P unguarded; valid self-contrast rows always
+        # have P = V-1 >= 1 in shipped configs. Guard only masked rows.
+        denom = jnp.where(p > 0, p, 1.0)
+    row_val = jnp.sum(posf * log_prob, axis=1) / denom
+    return jnp.sum(jnp.where(va_blk, row_val, 0.0))
+
+
+def _masked_infonce_pair(fa, la, va, fb, lb, vb, *, temperature,
+                         exclude_self, guard_zero_pos, row_chunk):
+    """Core: -(1/|valid rows|) * sum over valid rows of mean-pos log_prob."""
+    m_a = fa.shape[0]
+    fa = _l2_normalize(fa.astype(jnp.float32))
+    fb = _l2_normalize(fb.astype(jnp.float32))
+    ia = jnp.arange(m_a, dtype=jnp.int32)
+    ib = jnp.arange(fb.shape[0], dtype=jnp.int32)
+    inv_temp = jnp.float32(1.0 / temperature)
+
+    chunk = _pick_chunk(m_a, row_chunk)
+    n_chunks = m_a // chunk
+
+    body = partial(_row_block_loss, fb=fb, lb=lb, vb=vb, ib=ib,
+                   inv_temp=inv_temp, exclude_self=exclude_self,
+                   guard_zero_pos=guard_zero_pos)
+    body = jax.checkpoint(body)
+
+    if n_chunks == 1:
+        total = body(fa, la, va, ia)
+    else:
+        xs = (fa.reshape(n_chunks, chunk, -1),
+              la.reshape(n_chunks, chunk),
+              va.reshape(n_chunks, chunk),
+              ia.reshape(n_chunks, chunk))
+
+        def scan_fn(acc, x):
+            return acc + body(*x), None
+
+        total, _ = jax.lax.scan(scan_fn, jnp.float32(0.0), xs)
+
+    n_rows = jnp.sum(va.astype(jnp.float32))
+    return -total / jnp.maximum(n_rows, 1.0)
+
+
+def masked_infonce(features: jnp.ndarray, labels: jnp.ndarray,
+                   valid: jnp.ndarray, *, temperature: float,
+                   row_chunk: int = 1024) -> jnp.ndarray:
+    """Self-contrast InfoNCE over one anchor set (ref DCV2.contrastive_loss).
+
+    :param features: (M, C) slot features (un-normalised; L2 applied inside)
+    :param labels: (M,) int class per slot
+    :param valid: (M,) bool slot validity
+    """
+    return _masked_infonce_pair(
+        features, labels, valid, features, labels, valid,
+        temperature=temperature, exclude_self=True,
+        guard_zero_pos=False, row_chunk=row_chunk)
+
+
+def masked_infonce_cross(features_a: jnp.ndarray, labels_a: jnp.ndarray,
+                         valid_a: jnp.ndarray, features_b: jnp.ndarray,
+                         labels_b: jnp.ndarray, valid_b: jnp.ndarray, *,
+                         temperature: float,
+                         row_chunk: int = 1024) -> jnp.ndarray:
+    """Cross-scale InfoNCE: anchors of set A against views of set B
+    (ref DenseContrastiveLossV2_ms.contrastive_loss/InfoNce_loss). No
+    self-exclusion; zero-positive rows contribute 0 but still count in the
+    row mean (ref :148-156)."""
+    return _masked_infonce_pair(
+        features_a, labels_a, valid_a, features_b, labels_b, valid_b,
+        temperature=temperature, exclude_self=False,
+        guard_zero_pos=True, row_chunk=row_chunk)

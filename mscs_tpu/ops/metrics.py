@@ -1,0 +1,93 @@
+"""Segmentation metrics as jittable JAX ops.
+
+Functional equivalents of the reference's torch metric stack
+(``utils/torch_utils.py:157-283``): confusion matrix with ignore-class
+dropping, pixel accuracy (PA / PAC), mean IoU with per-class / per-category
+breakdowns.
+
+Convention (matches reference): confusion matrix rows = predicted class,
+columns = target class, shape (C, C) over the *real* (non-ignore) classes.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from mscs_tpu.data.datasets_info import DATASETS_INFO
+
+
+def confusion_matrix(prediction: jnp.ndarray, target: jnp.ndarray,
+                     num_classes: int,
+                     existing: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Accumulate a (C, C) confusion matrix.
+
+    :param prediction: logits (N, H, W, C) or already-argmaxed labels (N, H, W)
+    :param target: int labels (N, H, W); entries == num_classes (the remapped
+        ignore id) or outside [0, C) are excluded — same semantics as the
+        one-hot column drop in reference ``torch_utils.py:170-180``.
+    """
+    if prediction.ndim == target.ndim + 1:
+        pred = jnp.argmax(prediction, axis=-1)
+    else:
+        pred = prediction
+    pred = pred.reshape(-1).astype(jnp.int32)
+    tgt = target.reshape(-1).astype(jnp.int32)
+    valid = (tgt >= 0) & (tgt < num_classes)
+    idx = pred * num_classes + jnp.where(valid, tgt, 0)
+    cm = jnp.zeros((num_classes * num_classes,), dtype=jnp.int32)
+    cm = cm.at[idx].add(valid.astype(jnp.int32))
+    cm = cm.reshape(num_classes, num_classes)
+    if existing is not None:
+        cm = cm + existing
+    return cm
+
+
+def normalise_confusion_matrix(matrix: jnp.ndarray, mode: str) -> jnp.ndarray:
+    m = matrix.astype(jnp.float32)
+    if mode == "row":
+        s = jnp.sum(m, axis=1, keepdims=True)
+    elif mode == "col":
+        s = jnp.sum(m, axis=0, keepdims=True)
+    else:
+        raise ValueError("mode must be 'row' or 'col'")
+    return m / jnp.where(s == 0, 1.0, s)
+
+
+def pixel_accuracy(cm: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Overall pixel accuracy and mean per-predicted-class accuracy (PA, PAC)."""
+    cm = cm.astype(jnp.float32)
+    diag = jnp.diag(cm)
+    acc = jnp.sum(diag) / jnp.maximum(jnp.sum(cm), 1.0)
+    row_sums = jnp.sum(cm, axis=1)
+    acc_per_class = jnp.mean(diag / jnp.where(row_sums == 0, 1.0, row_sums))
+    return acc, acc_per_class
+
+
+def iou_per_class(cm: jnp.ndarray) -> jnp.ndarray:
+    """Per-class IoU from a (C, C) pred-rows/target-cols confusion matrix.
+    Classes with zero union get IoU 0 (reference NaN->0 rule)."""
+    cm = cm.astype(jnp.float32)
+    diag = jnp.diag(cm)
+    denom = jnp.sum(cm, axis=0) + jnp.sum(cm, axis=1) - diag
+    return jnp.where(denom > 0, diag / jnp.where(denom == 0, 1.0, denom), 0.0)
+
+
+def mean_iou(cm: jnp.ndarray, dataset: str, experiment: int,
+             categories: bool = False, rare: bool = False) -> dict:
+    """mIoU (+ optional per-category breakdown) as a dict of host floats.
+
+    Not jittable end-to-end (returns python dict keyed by category names);
+    call on an accumulated device confusion matrix at epoch end.
+    """
+    iou = np.asarray(iou_per_class(cm))
+    info = DATASETS_INFO[dataset].CLASS_INFO[experiment]
+    real = [c for c in info[1] if c != 255]
+    out = {"mean_iou": float(iou[real].mean()), "per_class_iou": iou[real]}
+    if categories:
+        out["categories"] = {}
+        for cat, ids in info[2].items():
+            if cat == "rare" and not rare:
+                continue
+            ids = [c for c in ids if c != 255]
+            out["categories"][cat] = float(iou[ids].mean()) if ids else 0.0
+    return out
