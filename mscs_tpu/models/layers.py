@@ -1,0 +1,90 @@
+"""Shared Flax building blocks with torch-compatible geometry.
+
+All models are NHWC (TPU-native layout).  Two parity rules matter for
+loading converted torch checkpoints and matching reference activations:
+
+- torch ``Conv2d(padding=p)`` pads symmetrically BEFORE striding; XLA 'SAME'
+  pads asymmetrically for even inputs, so convs here always use explicit
+  ``((p, p), (p, p))`` padding;
+- torch BatchNorm's ``momentum`` m updates ``ra = (1-m)*ra + m*batch``; Flax's
+  updates ``ra = m*ra + (1-m)*batch`` — so Flax momentum = 1 - torch momentum
+  (the reference uses torch defaults 0.1 everywhere except the 0.0003
+  projector/ASPP BNs, ``models/Projector.py:63``, ``models/DeepLabv3.py:150-170``).
+
+Sync-BN note: the reference wraps models in ``SyncBatchNorm`` under DDP
+(``managers/BaseManager.py:449-452``).  Here training runs a single jit over a
+sharded global batch, so batch statistics are computed over the full global
+batch by XLA collectives automatically — sync-BN semantics with zero extra
+code.
+"""
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def torch_bn_momentum(torch_momentum: float) -> float:
+    return 1.0 - torch_momentum
+
+
+class Conv(nn.Module):
+    """Conv2d with torch-style symmetric padding (NHWC)."""
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int | None = None  # default: k // 2 when stride==1 else torch rule
+    dilation: int = 1
+    use_bias: bool = True
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        p = self.padding if self.padding is not None else (k // 2) * self.dilation
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(k, k),
+            strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)),
+            kernel_dilation=(self.dilation, self.dilation),
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            name="conv",
+        )(x)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with torch momentum convention; sync across the global batch."""
+    torch_momentum: float = 0.1
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=torch_bn_momentum(self.torch_momentum),
+            epsilon=self.epsilon,
+            name="bn",
+        )(x)
+
+
+class ConvBN(nn.Module):
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int | None = None
+    dilation: int = 1
+    relu: bool = False
+    use_bias: bool = False
+    torch_momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        x = Conv(self.features, self.kernel_size, self.stride, self.padding,
+                 self.dilation, use_bias=self.use_bias, name="conv")(x)
+        x = BatchNorm(self.torch_momentum, name="norm")(x, train)
+        if self.relu:
+            x = nn.relu(x)
+        return x

@@ -1,0 +1,216 @@
+"""Swin Transformer backbone (dense-prediction variant) in Flax NHWC.
+
+Capability parity with reference ``models/Swin.py`` (the MSRA/mmseg Swin for
+segmentation): 4x4 conv patch embed with patch-norm, windowed attention with
+relative position bias, shifted windows via roll + region mask, pad-to-window
+for arbitrary input sizes, PatchMerging downsampling, stochastic depth with
+linear rate schedule, per-out-index LayerNorm, T/S/B/L variants hardcoded
+(ref ``backbone_config``, Swin.py:21-94).
+
+TPU-first notes: everything NHWC, window partition is a reshape/transpose
+(no gathers), shift is ``jnp.roll``, attention masks are computed at trace
+time with numpy (static shapes).  Use ``remat=True`` per stage instead of
+torch checkpointing.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+SWIN_VARIANTS = {
+    "swinT": dict(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24)),
+    "swinS": dict(embed_dim=96, depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24)),
+    "swinB": dict(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32)),
+    "swinL": dict(embed_dim=192, depths=(2, 2, 18, 2), num_heads=(6, 12, 24, 48)),
+}
+
+
+def _relative_position_index(ws: int) -> np.ndarray:
+    """(ws², ws²) indices into the (2ws-1)² relative-position-bias table."""
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]          # 2, N, N
+    rel = rel.transpose(1, 2, 0) + (ws - 1)            # shift to >= 0
+    return (rel[..., 0] * (2 * ws - 1) + rel[..., 1]).astype(np.int32)
+
+
+def _shift_attn_mask(hp: int, wp: int, ws: int, shift: int) -> np.ndarray:
+    """(num_windows, ws², ws²) additive mask (0 / -100) for SW-MSA."""
+    img = np.zeros((hp, wp), np.int32)
+    cnt = 0
+    for h_sl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for w_sl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[h_sl, w_sl] = cnt
+            cnt += 1
+    win = img.reshape(hp // ws, ws, wp // ws, ws).transpose(0, 2, 1, 3)
+    win = win.reshape(-1, ws * ws)
+    mask = win[:, None, :] != win[:, :, None]
+    return np.where(mask, -100.0, 0.0).astype(np.float32)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm DropPath semantics)."""
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        if not train or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    window_size: int
+    num_heads: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None) -> jnp.ndarray:
+        """x: (num_windows*B, N, C); mask: (num_windows, N, N) or None."""
+        bnw, n, c = x.shape
+        ws = self.window_size
+        head_dim = c // self.num_heads
+        scale = head_dim ** -0.5
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * ws - 1) ** 2, self.num_heads))
+        idx = jnp.asarray(_relative_position_index(ws).reshape(-1))
+        bias = table[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
+
+        qkv = nn.Dense(c * 3, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = qkv.reshape(bnw, n, 3, self.num_heads, head_dim)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
+                          preferred_element_type=jnp.float32)
+        attn = attn + bias[None].astype(attn.dtype)
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(bnw // nw, nw, self.num_heads, n, n)
+            attn = attn + mask[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(bnw, self.num_heads, n, n)
+        attn = nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(bnw, n, c)
+        return nn.Dense(c, name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+    shift_size: int
+    mlp_ratio: float
+    qkv_bias: bool
+    drop_path: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """x: (B, H, W, C)."""
+        b, h, w, c = x.shape
+        ws = self.window_size
+        shift = self.shift_size if min(h, w) > ws else 0
+        ws_eff = min(ws, h, w) if min(h, w) <= ws else ws
+
+        shortcut = x
+        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        pad_b = (ws_eff - h % ws_eff) % ws_eff
+        pad_r = (ws_eff - w % ws_eff) % ws_eff
+        y = jnp.pad(y, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        hp, wp = h + pad_b, w + pad_r
+        if shift > 0:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(_shift_attn_mask(hp, wp, ws_eff, shift))
+        else:
+            mask = None
+        # window partition: reshape + transpose only
+        y = y.reshape(b, hp // ws_eff, ws_eff, wp // ws_eff, ws_eff, c)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws_eff * ws_eff, c)
+        y = WindowAttention(self.dim, ws_eff, self.num_heads, self.qkv_bias,
+                            name="attn")(y, mask)
+        y = y.reshape(b, hp // ws_eff, wp // ws_eff, ws_eff, ws_eff, c)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)
+        if shift > 0:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        y = y[:, :h, :w]
+        x = shortcut + DropPath(self.drop_path, name="dp1")(y, train)
+
+        z = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        z = nn.Dense(int(c * self.mlp_ratio), name="mlp_fc1")(z)
+        z = nn.gelu(z, approximate=False)
+        z = nn.Dense(c, name="mlp_fc2")(z)
+        return x + DropPath(self.drop_path, name="dp2")(z, train)
+
+
+class PatchMerging(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
+
+
+class SwinTransformer(nn.Module):
+    """Returns a list of NHWC feature maps at the requested out_indices."""
+    variant: str = "swinT"
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path_rate: float = 0.3
+    patch_norm: bool = True
+    out_indices: tuple = (0, 1, 2, 3)
+    frozen_stages: int = -1
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> list[jnp.ndarray]:
+        spec = SWIN_VARIANTS[self.variant]
+        embed_dim, depths, num_heads = (spec["embed_dim"], spec["depths"],
+                                        spec["num_heads"])
+        # patch embed: 4x4 conv stride 4 (pad input to multiple of 4)
+        b, h, w, _ = x.shape
+        x = jnp.pad(x, ((0, 0), (0, (4 - h % 4) % 4), (0, (4 - w % 4) % 4),
+                        (0, 0)))
+        x = nn.Conv(embed_dim, (4, 4), strides=(4, 4), padding="VALID",
+                    name="patch_embed")(x)
+        if self.patch_norm:
+            x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
+
+        total_depth = sum(depths)
+        dpr = np.linspace(0, self.drop_path_rate, total_depth)
+        outs = []
+        blk_id = 0
+        for stage, depth in enumerate(depths):
+            dim = embed_dim * (2 ** stage)
+            for d in range(depth):
+                block_cls = (nn.remat(SwinBlock, static_argnums=(2,))
+                             if self.remat else SwinBlock)
+                x = block_cls(
+                    dim=dim, num_heads=num_heads[stage],
+                    window_size=self.window_size,
+                    shift_size=0 if d % 2 == 0 else self.window_size // 2,
+                    mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                    drop_path=float(dpr[blk_id]),
+                    name=f"stage{stage}_block{d}")(x, train)
+                blk_id += 1
+            if stage in self.out_indices:
+                out = nn.LayerNorm(epsilon=1e-5, name=f"norm{stage}")(x)
+                outs.append(out)
+            if stage < len(depths) - 1:
+                x = PatchMerging(dim, name=f"merge{stage}")(x)
+        return outs

@@ -19,18 +19,21 @@ import jax.numpy as jnp
 
 def _bilinear_idx_weights(in_size: int, out_size: int, align_corners: bool):
     """Return (lo_idx, hi_idx, hi_weight) each shape (out_size,) as numpy."""
+    # torch computes source coordinates in fp32 (area_pixel_compute_source_index)
+    f32 = np.float32
     if out_size == 1:
         # torch: single output sample takes source coordinate 0 (align_corners)
         # or center rule clamped; both land on index 0 weight on lo.
         if align_corners or in_size == 1:
-            src = np.zeros((1,), dtype=np.float64)
+            src = np.zeros((1,), dtype=f32)
         else:
-            src = np.clip((np.arange(1) + 0.5) * in_size / out_size - 0.5, 0, in_size - 1)
+            src = np.clip((np.arange(1, dtype=f32) + f32(0.5)) * f32(in_size / out_size)
+                          - f32(0.5), 0, in_size - 1)
     elif align_corners:
-        src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+        src = np.arange(out_size, dtype=f32) * f32((in_size - 1) / (out_size - 1))
     else:
-        src = (np.arange(out_size, dtype=np.float64) + 0.5) * in_size / out_size - 0.5
-        src = np.clip(src, 0.0, in_size - 1)
+        src = (np.arange(out_size, dtype=f32) + f32(0.5)) * f32(in_size / out_size) - f32(0.5)
+        src = np.clip(src, f32(0.0), f32(in_size - 1))
     lo = np.floor(src).astype(np.int64)
     lo = np.clip(lo, 0, in_size - 1)
     hi = np.minimum(lo + 1, in_size - 1)

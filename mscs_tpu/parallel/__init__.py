@@ -1,0 +1,15 @@
+from mscs_tpu.parallel.mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    initialize_distributed,
+    make_mesh,
+    replicate,
+    replicated_sharding,
+    shard_batch,
+)
+from mscs_tpu.parallel import dist
+
+__all__ = [
+    "DATA_AXIS", "batch_sharding", "initialize_distributed", "make_mesh",
+    "replicate", "replicated_sharding", "shard_batch", "dist",
+]

@@ -1,0 +1,129 @@
+"""TrainState + jitted train/eval steps.
+
+The functional heart of the runtime: replaces the per-model manager loops
+(``managers/HRNet_Manager.py:82-209``, ``OCRNet_Manager.py:17-52``) with one
+pure ``train_step``/``eval_step`` pair compiled over a device mesh.  Model
+output shapes (single logits vs [interm, logits] vs projector features) are
+normalised here, mirroring the managers' forward_step dispatch.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from mscs_tpu.losses.wrapper import LossWrapper
+from mscs_tpu.ops.metrics import confusion_matrix
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, *, apply_fn, params, batch_stats, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   batch_stats=batch_stats, opt_state=tx.init(params),
+                   tx=tx, apply_fn=apply_fn)
+
+
+def output_flags(graph_config: dict) -> tuple[bool, bool]:
+    """(has_interm, has_proj) from a reference-style graph config.
+
+    OCRNet always emits intermediate logits (ref OCR.py get_intermediate=True);
+    UPerNet does iff an aux_head is configured; projector outputs appear when
+    a (ms_)projector block exists.
+    """
+    model = graph_config.get("model", "")
+    has_interm = model == "OCRNet" or (
+        model == "UPerNet" and "aux_head" in graph_config)
+    has_proj = "projector" in graph_config or "ms_projector" in graph_config
+    return has_interm, has_proj
+
+
+def split_outputs(outputs, has_interm: bool = None, has_proj: bool = None):
+    """Normalise model outputs to (logits, interm_logits, deep_features).
+
+    Reference ordering contract (models/OCR.py:218-245): a bare tensor, or
+    [logits, proj], or [interm, logits], or [interm, logits, proj] — proj is
+    a list (multi-scale) or a single feature map.  Pass the static flags from
+    ``output_flags`` when available; the fallback heuristic detects the
+    projector entry by its list-ness or reduced resolution.
+    """
+    if isinstance(outputs, jnp.ndarray):
+        return outputs, None, None
+    outs = list(outputs)
+    interm, feats = None, None
+    if has_proj is None:  # heuristic fallback
+        has_proj = isinstance(outs[-1], (list, tuple)) or (
+            hasattr(outs[-1], "ndim") and outs[-1].ndim == 4
+            and len(outs) > 1 and outs[-1].shape[1:3] != outs[0].shape[1:3])
+    if has_proj:
+        feats = outs.pop()
+    if has_interm is None:
+        has_interm = len(outs) == 2
+    if has_interm:
+        interm, logits = outs
+    else:
+        (logits,) = outs
+    return logits, interm, feats
+
+
+def make_train_step(loss_wrapper: LossWrapper, num_classes: int,
+                    compute_metrics: bool = True,
+                    has_interm: bool | None = None,
+                    has_proj: bool | None = None):
+    """Build a pure train step: (state, batch, rng, epoch) -> (state, logs).
+
+    batch = {'image': (N,H,W,3) float, 'label': (N,H,W) int32}.
+    Compile with jit + NamedSharding-annotated args for DP.
+    """
+
+    def train_step(state: TrainState, batch, rng, epoch):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            outputs, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"], train=True,
+                rngs={"dropout": jax.random.fold_in(rng, 1)},
+                mutable=["batch_stats"])
+            logits, interm, feats = split_outputs(outputs, has_interm, has_proj)
+            total, loss_vals = loss_wrapper(
+                jax.random.fold_in(rng, 2), logits, batch["label"],
+                deep_features=feats, interm_prediction=interm, epoch=epoch)
+            return total, (loss_vals, logits, updates["batch_stats"])
+
+        (loss, (loss_vals, logits, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        logs = {"loss": loss, **loss_vals}
+        if compute_metrics:
+            logs["confusion"] = confusion_matrix(
+                jax.lax.stop_gradient(logits), batch["label"], num_classes)
+        return new_state, logs
+
+    return train_step
+
+
+def make_eval_step(num_classes: int, has_interm: bool | None = None,
+                   has_proj: bool | None = None):
+    def eval_step(state: TrainState, batch):
+        outputs = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image"], train=False)
+        logits, interm, _ = split_outputs(outputs, has_interm, has_proj)
+        cm = confusion_matrix(logits, batch["label"], num_classes)
+        return logits, cm
+
+    return eval_step

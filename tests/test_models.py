@@ -1,0 +1,111 @@
+"""Model-zoo shape/structure tests (the reference's __main__ smoke blocks,
+SURVEY.md §4, as a real test suite)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mscs_tpu.models import build_model
+from mscs_tpu.models.swin import SwinTransformer
+
+
+def _init_apply(model, x, train=False):
+    variables = model.init(jax.random.key(0), x, train=train)
+    out = model.apply(variables, x, train=train,
+                      rngs={"dropout": jax.random.key(1)} if train else None,
+                      mutable=["batch_stats"] if train else False)
+    return (out[0], variables) if train else (out, variables)
+
+
+def test_deeplabv3_shapes():
+    cfg = {"model": "DeepLabv3", "dataset": "CITYSCAPES", "backbone": "resnet50",
+           "out_stride": 16, "align_corners": True,
+           "ms_projector": {"mlp": [[1, -1, 1]], "d": 64, "use_bn": True,
+                            "feats": ["layer1", "layer3", "layer4"]}}
+    model = build_model(cfg, 1)
+    x = jnp.ones((1, 64, 64, 3))
+    (logits, proj), _ = _init_apply(model, x)
+    assert logits.shape == (1, 64, 64, 19)
+    assert [p.shape for p in proj] == [(1, 16, 16, 64), (1, 4, 4, 64), (1, 4, 4, 64)]
+
+
+def test_deeplabv3_out_stride_8():
+    cfg = {"model": "DeepLabv3", "dataset": "ADE20K", "backbone": "resnet50",
+           "out_stride": 8}
+    model = build_model(cfg, 1)
+    x = jnp.ones((1, 64, 64, 3))
+    logits, _ = _init_apply(model, x)
+    assert logits.shape == (1, 64, 64, 150)
+
+
+def test_hrnet18_shapes():
+    cfg = {"model": "HRNet", "dataset": "CITYSCAPES", "backbone": "hrnet18",
+           "align_corners": True,
+           "ms_projector": {"mlp": [[1, -1, 1]], "scales": 4, "d": 32,
+                            "use_bn": True}}
+    model = build_model(cfg, 1)
+    x = jnp.ones((1, 64, 64, 3))
+    (logits, proj), _ = _init_apply(model, x)
+    assert logits.shape == (1, 64, 64, 19)
+    assert [p.shape[1] for p in proj] == [16, 8, 4, 2]
+    assert all(p.shape[-1] == 32 for p in proj)
+
+
+def test_ocrnet_resnet_output_order():
+    cfg = {"model": "OCRNet", "dataset": "PASCALC", "backbone": "resnet50",
+           "out_stride": 8,
+           "ms_projector": {"mlp": [[1, -1, 1]], "d": 32, "use_bn": True}}
+    model = build_model(cfg, 1)
+    x = jnp.ones((1, 64, 64, 3))
+    outs, _ = _init_apply(model, x)
+    interm, final, proj = outs
+    assert interm.shape == final.shape == (1, 64, 64, 59)
+    assert len(proj) == 2 and proj[0].shape[-1] == 32
+
+
+def test_swin_backbone_shapes():
+    model = SwinTransformer("swinT", drop_path_rate=0.0)
+    x = jnp.ones((1, 96, 96, 3))
+    variables = model.init(jax.random.key(0), x, train=False)
+    outs = model.apply(variables, x, train=False)
+    assert [o.shape for o in outs] == [
+        (1, 24, 24, 96), (1, 12, 12, 192), (1, 6, 6, 384), (1, 3, 3, 768)]
+
+
+def test_swin_nondivisible_input():
+    """Pad-to-window path: input not divisible by 4 * window."""
+    model = SwinTransformer("swinT", drop_path_rate=0.0)
+    x = jnp.ones((1, 67, 53, 3))
+    variables = model.init(jax.random.key(0), x, train=False)
+    outs = model.apply(variables, x, train=False)
+    assert outs[0].shape == (1, 17, 14, 96)
+
+
+def test_upernet_swin_full_stack():
+    cfg = {"model": "UPerNet", "dataset": "ADE20K", "backbone": "swinT",
+           "align_corners": False, "drop_path_rate": 0.0,
+           "aux_head": {"in_index": 3},
+           "ms_projector": {"mlp": [[1, -1, 1]], "scales": 4, "d": 32,
+                            "use_bn": True, "position": "fpn"}}
+    model = build_model(cfg, 1)
+    x = jnp.ones((1, 64, 64, 3))
+    outs, _ = _init_apply(model, x)
+    interm, final, proj = outs
+    assert interm.shape == final.shape == (1, 64, 64, 150)
+    assert len(proj) == 4
+    assert [p.shape[1] for p in proj] == [16, 8, 4, 2]
+
+
+def test_train_mode_updates_batch_stats():
+    cfg = {"model": "DeepLabv3", "dataset": "CITYSCAPES", "backbone": "resnet50",
+           "out_stride": 32}
+    model = build_model(cfg, 1)
+    x = jnp.ones((2, 32, 32, 3))
+    variables = model.init(jax.random.key(0), x, train=False)
+    _, updates = model.apply(variables, x, train=True,
+                             mutable=["batch_stats"])
+    before = jax.tree.leaves(variables["batch_stats"])
+    after = jax.tree.leaves(updates["batch_stats"])
+    assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+               for a, b in zip(after, before))
