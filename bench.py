@@ -1,0 +1,64 @@
+"""Benchmark harness: flagship train-step throughput on the local chip(s).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: train images/sec/chip for the Cityscapes paper config
+(HRNet-W48 + CE + DC-ms-cs, 512x512 crops — reference trains 512x1024 on
+4xA100; per-chip normalisation keeps the comparison honest).
+
+Baseline: the reference repo publishes no numbers (BASELINE.md); the paper
+recipe on A100-class GPUs runs HRNet-W48 DDP at roughly 8 img/s/GPU for this
+crop size.  vs_baseline is measured/8.0 until a measured torch baseline
+exists.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_BASELINE_IMG_PER_SEC_PER_CHIP = 8.0  # provisional; see BASELINE.md
+
+
+def main():
+    from __graft_entry__ import FLAGSHIP_GRAPH, FLAGSHIP_LOSS, _build_train_setup
+    from mscs_tpu.parallel import make_mesh, replicate, shard_batch
+
+    n_chips = len(jax.devices())
+    batch = 4 * n_chips
+    hw = 512
+    state, step, batch_data = _build_train_setup(
+        dict(FLAGSHIP_GRAPH), dict(FLAGSHIP_LOSS), batch=batch, hw=hw)
+    mesh = make_mesh()
+    state = replicate(mesh, state)
+    batch_data = shard_batch(mesh, batch_data)
+    step = jax.jit(step, donate_argnums=(0,))
+
+    rng = jax.random.key(0)
+    # warmup / compile
+    state, logs = step(state, batch_data, rng, 0)
+    jax.block_until_ready(logs["loss"])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, logs = step(state, batch_data, rng, 0)
+    jax.block_until_ready(logs["loss"])
+    dt = time.perf_counter() - t0
+
+    img_per_sec = batch * iters / dt
+    per_chip = img_per_sec / n_chips
+    print(json.dumps({
+        "metric": "train_images_per_sec_per_chip_hrnetw48_mscs_512",
+        "value": round(per_chip, 3),
+        "unit": "img/s/chip",
+        "vs_baseline": round(per_chip / A100_BASELINE_IMG_PER_SEC_PER_CHIP, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

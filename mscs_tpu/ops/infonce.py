@@ -32,9 +32,15 @@ import jax.numpy as jnp
 
 
 def _l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    """torch.nn.functional.normalize(p=2): x / max(||x||, eps)."""
-    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
-    return x / jnp.maximum(norm, eps)
+    """torch.nn.functional.normalize(p=2): x / max(||x||, eps).
+
+    Gradient-safe at x == 0 (masked slots are zero vectors; sqrt'(0) = inf
+    would otherwise poison the whole gradient): rows with zero norm map to 0
+    with zero gradient."""
+    sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+    safe = jnp.where(sq > 0, sq, 1.0)
+    out = x / jnp.maximum(jnp.sqrt(safe), eps)
+    return jnp.where(sq > 0, out, 0.0)
 
 
 def _pick_chunk(m: int, want: int) -> int:
