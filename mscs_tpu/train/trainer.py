@@ -1,0 +1,285 @@
+"""Trainer — config-driven orchestration (the managers layer, redesigned).
+
+Replaces the reference's LoggingManager/BaseManager/per-model-Manager
+inheritance stack (``managers/*.py``) with one Trainer: run-dir + seeding,
+model/loss/data/optimizer construction from the same JSON config surface,
+the epoch loop with per-term loss logging and train-metric tracking, rank-0
+validation with best-mIoU checkpointing, resume, and info.json persistence.
+
+Differences by design (TPU-first):
+- one process drives the whole mesh (no mp.spawn; DDP -> sharded jit)
+- train/eval steps are compiled once; data arrives via a prefetching host
+  loader (workers -> device_put overlap)
+- validation runs the same sharded step; full-image eval uses the padded
+  canonical shapes produced by the val transforms.
+"""
+from __future__ import annotations
+
+import datetime
+import json
+import pathlib
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mscs_tpu.config import graph_config, loss_config
+from mscs_tpu.data import (
+    DATASET_REGISTRY,
+    DataLoader,
+    DatasetFromDF,
+    SyntheticDataset,
+    get_cadis_dataframes,
+    num_real_classes,
+    parse_transform_lists,
+)
+from mscs_tpu.losses import LossWrapper
+from mscs_tpu.models import build_model
+from mscs_tpu.ops.metrics import mean_iou, pixel_accuracy
+from mscs_tpu.parallel import make_mesh, replicate, shard_batch
+from mscs_tpu.train.checkpoint import CheckpointManager
+from mscs_tpu.train.optim import build_optimizer
+from mscs_tpu.train.schedules import convert_restarts_to_steps, make_lr_schedule
+from mscs_tpu.train.state import (
+    TrainState,
+    make_eval_step,
+    make_train_step,
+    output_flags,
+)
+from mscs_tpu.utils.logger import Logger, ScalarWriter, printlog
+
+
+class Trainer:
+    def __init__(self, config: dict[str, Any]):
+        self.config = config
+        self.dataset = config["data"]["dataset"]
+        self.experiment = config["data"]["experiment"]
+        self.num_classes = num_real_classes(self.dataset, self.experiment)
+        self.debugging = config.get("debugging", False)
+
+        # run id / log dir (ref LoggingManager.__init__)
+        run_id = config.get("run_id") or "{}_{}".format(
+            datetime.datetime.now().strftime("%Y%m%d_%H%M%S"),
+            config.get("name", "run"))
+        self.run_id = run_id
+        self.log_dir = pathlib.Path(config.get("log_path", "logs")) / run_id
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        Logger.init(self.log_dir)
+        self.train_writer = ScalarWriter(self.log_dir, "train")
+        self.valid_writer = ScalarWriter(self.log_dir, "valid")
+        self.checkpoints = CheckpointManager(self.log_dir)
+
+        self.rng = jax.random.key(config.get("seed", 0))
+        self.metrics: dict[str, Any] = {
+            "best_miou": 0.0, "best_loss": float("inf"), "best_epoch": -1}
+
+        self._build_data()
+        # mesh over the largest device count that divides the global batch
+        ndev = jax.device_count()
+        n_use = max(d for d in range(1, ndev + 1) if self.batch_size % d == 0)
+        if n_use != ndev:
+            printlog(f"using {n_use}/{ndev} devices "
+                     f"(batch {self.batch_size} not divisible by {ndev})")
+        self.mesh = make_mesh(jax.devices()[:n_use])
+        self._build_model_and_state()
+
+    # ------------------------------------------------------------------ data
+    def _build_data(self) -> None:
+        cfg = self.config
+        dcfg = cfg["data"]
+        tf_train = parse_transform_lists(
+            dcfg.get("transforms", []), dcfg.get("transform_values", {}),
+            self.dataset, self.experiment)
+        tf_val = parse_transform_lists(
+            dcfg.get("transforms_val", []), dcfg.get("transform_values_val", {}),
+            self.dataset, self.experiment)
+
+        data_path = cfg.get("data_path")
+        synthetic = cfg.get("synthetic_data", False) or data_path is None
+        if synthetic:
+            hw = dcfg.get("transform_values", {}).get("crop_shape", [512, 512])
+            n_train = 8 if self.debugging else dcfg.get("synthetic_length", 64)
+            self.train_set = SyntheticDataset(self.dataset, self.experiment,
+                                              tf_train, length=n_train, hw=hw)
+            self.valid_set = SyntheticDataset(self.dataset, self.experiment,
+                                              tf_val if tf_val["common"] else tf_train,
+                                              length=4, hw=hw, seed=1)
+        elif self.dataset == "CADIS":
+            train_df, valid_df = get_cadis_dataframes(cfg)
+            self.train_set = DatasetFromDF(train_df, data_path, tf_train,
+                                           self.experiment)
+            self.valid_set = DatasetFromDF(valid_df, data_path, tf_val,
+                                           self.experiment)
+        else:
+            ds_cls = DATASET_REGISTRY[self.dataset]
+            split = dcfg.get("split", "train")
+            # debug mode trains on val/val (ref BaseManager.py:280-283)
+            train_split = "val" if self.debugging else split
+            self.train_set = ds_cls(data_path, tf_train, split=train_split,
+                                    experiment=self.experiment)
+            self.valid_set = ds_cls(data_path, tf_val, split="val",
+                                    experiment=self.experiment)
+
+        self.batch_size = dcfg.get("batch_size", 8)
+        self.train_loader = DataLoader(
+            self.train_set, self.batch_size, shuffle=True, drop_last=True,
+            num_workers=dcfg.get("num_workers", 4), seed=cfg.get("seed", 0))
+        vb = cfg.get("valid_batch_size", 1)
+        self.valid_loader = DataLoader(
+            self.valid_set, vb, shuffle=False, drop_last=False,
+            num_workers=dcfg.get("num_workers", 4))
+
+    # ----------------------------------------------------------------- model
+    def _build_model_and_state(self) -> None:
+        cfg = self.config
+        gcfg = graph_config(cfg)
+        self.model = build_model(gcfg, self.experiment)
+        self.loss_wrapper = LossWrapper.from_config(loss_config(cfg))
+        self.has_interm, self.has_proj = output_flags(gcfg)
+
+        crop = cfg["data"].get("transform_values", {}).get(
+            "crop_shape", [512, 512])
+        sample = jnp.zeros((1, int(crop[0]), int(crop[1]), 3), jnp.float32)
+        variables = jax.jit(self.model.init, static_argnames=("train",))(
+            jax.random.key(cfg.get("seed", 0)), sample, train=False)
+
+        epochs = cfg["train"]["epochs"]
+        bpe = max(len(self.train_loader), 1)
+        if cfg["train"].get("lr_batchwise", False):
+            total = epochs * bpe
+            restarts = convert_restarts_to_steps(
+                cfg["train"].get("lr_restarts", []), [bpe] * epochs)
+        else:
+            total = epochs
+            restarts = list(cfg["train"].get("lr_restarts", []))
+        self.lr_schedule = make_lr_schedule(cfg["train"], restarts, total)
+        self.lr_batchwise = cfg["train"].get("lr_batchwise", False)
+        tx = build_optimizer(cfg["train"], self.lr_schedule,
+                             variables["params"])
+        state = TrainState.create(
+            apply_fn=self.model.apply, params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}), tx=tx)
+        self.state = replicate(self.mesh, state)
+
+        self.train_step = jax.jit(make_train_step(
+            self.loss_wrapper, self.num_classes,
+            has_interm=self.has_interm, has_proj=self.has_proj),
+            donate_argnums=(0,))
+        self.eval_step = jax.jit(make_eval_step(
+            self.num_classes, has_interm=self.has_interm,
+            has_proj=self.has_proj))
+        self.start_epoch = 0
+
+        if cfg.get("load_checkpoint"):
+            which = "last" if cfg.get("load_last") else "best"
+            self.state, meta = self.checkpoints.load(self.state, which)
+            self.start_epoch = meta["epoch"] + 1
+            self.metrics["best_miou"] = meta.get("best_miou", 0.0)
+            printlog(f"resumed from {which} checkpoint at epoch {meta['epoch']}")
+
+    # ----------------------------------------------------------------- loops
+    def train_one_epoch(self, epoch: int) -> dict[str, float]:
+        self.train_loader.set_epoch(epoch)
+        n_batches = len(self.train_loader)
+        limit = 3 if self.debugging else n_batches  # ref debug truncation
+        accum: dict[str, float] = {}
+        cm = np.zeros((self.num_classes, self.num_classes), np.int64)
+        seen = 0
+        t0 = time.time()
+        for i, batch in enumerate(self.train_loader):
+            if i >= limit:
+                break
+            device_batch = shard_batch(self.mesh, {
+                "image": batch["image"], "label": batch["label"]})
+            self.state, logs = self.train_step(
+                self.state, device_batch, self.rng, epoch)
+            for k, v in logs.items():
+                if k == "confusion":
+                    cm += np.asarray(jax.device_get(v), np.int64)
+                else:
+                    accum[k] = accum.get(k, 0.0) + float(jax.device_get(v))
+            seen += 1
+        dt = time.time() - t0
+        scalars = {k: v / max(seen, 1) for k, v in accum.items()}
+        scalars["lr"] = float(self.lr_schedule(
+            int(jax.device_get(self.state.step)) - 1 if self.lr_batchwise
+            else epoch))
+        scalars["images_per_sec"] = seen * self.batch_size / max(dt, 1e-9)
+        miou = mean_iou(jnp.asarray(cm), self.dataset, self.experiment)
+        scalars["train_miou"] = miou["mean_iou"]
+        self.train_writer.add_scalars(int(jax.device_get(self.state.step)),
+                                      scalars)
+        printlog(f"epoch {epoch:03d} train: " + ", ".join(
+            f"{k}={v:.4f}" for k, v in scalars.items()))
+        return scalars
+
+    def validate(self, epoch: int) -> dict[str, float]:
+        cm = np.zeros((self.num_classes, self.num_classes), np.int64)
+        limit = 3 if self.debugging else len(self.valid_loader)
+        losses = 0.0
+        for i, batch in enumerate(self.valid_loader):
+            if i >= limit:
+                break
+            device_batch = {
+                "image": jnp.asarray(batch["image"]),
+                "label": jnp.asarray(batch["label"])}
+            _, cm_b = self.eval_step(self.state, device_batch)
+            cm += np.asarray(jax.device_get(cm_b), np.int64)
+        mious = mean_iou(jnp.asarray(cm), self.dataset, self.experiment,
+                         categories=True)
+        pa, pac = pixel_accuracy(jnp.asarray(cm))
+        scalars = {"miou": mious["mean_iou"], "pixel_acc": float(pa),
+                   "pixel_acc_per_class": float(pac)}
+        for cat, v in mious.get("categories", {}).items():
+            scalars[f"miou_{cat}"] = v
+        self.valid_writer.add_scalars(int(jax.device_get(self.state.step)),
+                                      scalars)
+        printlog(f"epoch {epoch:03d} valid: " + ", ".join(
+            f"{k}={v:.4f}" for k, v in scalars.items()))
+
+        # best tracking + checkpointing (ref valid_logging :213-291)
+        if scalars["miou"] > self.metrics["best_miou"]:
+            self.metrics["best_miou"] = scalars["miou"]
+            self.metrics["best_epoch"] = epoch
+            self.checkpoints.save(self.state, epoch,
+                                  self.metrics["best_miou"], losses,
+                                  is_best=True)
+        if (epoch + 1) % self.config.get("log_every_n_epochs", 100) == 0:
+            self.checkpoints.save(self.state, epoch,
+                                  self.metrics["best_miou"], losses)
+        self.write_info_json()
+        return scalars
+
+    def train(self) -> dict[str, Any]:
+        cfg = self.config
+        epochs = 1 if self.debugging else cfg["train"]["epochs"]
+        valid_freq = cfg.get("valid_freq", 10)
+        for epoch in range(self.start_epoch, epochs):
+            # densify validation near the end (ref BaseManager.py:151-154)
+            vf = 1 if epoch >= 0.9 * epochs else valid_freq
+            self.train_one_epoch(epoch)
+            if (epoch + 1) % vf == 0 or epoch == epochs - 1:
+                self.validate(epoch)
+        self.checkpoints.save(self.state, epochs - 1,
+                              self.metrics["best_miou"], 0.0, tag="last")
+        self.write_info_json()
+        return self.metrics
+
+    def write_info_json(self) -> None:
+        """Crash-resilient metrics persistence (ref :414-433)."""
+        info = {"config": _jsonable(self.config), "metrics": self.metrics,
+                "run_id": self.run_id}
+        with open(self.log_dir / "info.json", "w") as f:
+            json.dump(info, f, indent=2, default=str)
+
+
+def _jsonable(obj):
+    if isinstance(obj, dict):
+        return {str(k): _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, (pathlib.Path,)):
+        return str(obj)
+    return obj

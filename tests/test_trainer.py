@@ -1,0 +1,95 @@
+"""Trainer integration: config -> data -> model -> train -> validate ->
+checkpoint -> resume, on synthetic data (the reference's debug-mode
+integration harness, SURVEY.md §4, as a real test)."""
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from mscs_tpu.config import apply_loss_preset, parse_config
+from mscs_tpu.train.trainer import Trainer
+
+
+def _tiny_config(tmp_path, losses=None):
+    return {
+        "name": "t", "mode": "training",
+        "manager": "HRNet",
+        "graph": {"model": "DeepLabv3", "backbone": "resnet18",
+                  "out_stride": 32, "align_corners": True,
+                  "ms_projector": {"mlp": [[1, -1, 1]], "d": 16,
+                                   "use_bn": True,
+                                   "feats": ["layer1", "layer4"]}},
+        "data": {"dataset": "CITYSCAPES", "experiment": 1,
+                 "transforms": ["flip", "random_scale", "RandomCropImgLbl",
+                                "colorjitter", "torchvision_normalise"],
+                 "transform_values": {"crop_shape": [48, 48],
+                                      "crop_class_max_ratio": 0.75,
+                                      "scale_range": [0.5, 2]},
+                 "transforms_val": ["torchvision_normalise"],
+                 "transform_values_val": {},
+                 "batch_size": 2, "num_workers": 2,
+                 "synthetic_length": 6},
+        "loss": {"temperature": 0.1, "scales": 2, "weights": [1.0, 0.4],
+                 "cross_scale_contrast": True, "max_features_total": 256,
+                 "losses": losses or {"CrossEntropyLoss": 1,
+                                      "DenseContrastiveLossV2_ms": 0.1}},
+        "train": {"learning_rate": 0.01, "lr_fct": "polynomial",
+                  "optim": "SGD", "lr_batchwise": True, "epochs": 2,
+                  "momentum": 0.9, "wd": 5e-4, "lr_restarts": [],
+                  "lr_restart_vals": 1, "lr_params": {}},
+        "valid_freq": 1, "log_every_n_epochs": 1, "seed": 0,
+        "synthetic_data": True,
+        "log_path": str(tmp_path),
+    }
+
+
+def test_trainer_end_to_end(tmp_path):
+    trainer = Trainer(_tiny_config(tmp_path))
+    metrics = trainer.train()
+    assert metrics["best_miou"] >= 0.0
+    # artifacts: scalars + info.json + best/last checkpoints
+    log_dir = trainer.log_dir
+    assert (log_dir / "info.json").exists()
+    assert (log_dir / "scalars_train.jsonl").exists()
+    assert (log_dir / "chkpts" / "last").exists()
+    lines = open(log_dir / "scalars_train.jsonl").read().strip().splitlines()
+    rec = json.loads(lines[-1])
+    assert np.isfinite(rec["loss"])
+    assert "DenseContrastiveLossV2_ms_ms0" in rec  # per-scale loss logging
+
+
+def test_trainer_resume(tmp_path):
+    cfg = _tiny_config(tmp_path)
+    t1 = Trainer(cfg)
+    t1.train()
+    cfg2 = dict(cfg)
+    cfg2["run_id"] = t1.run_id  # same log dir
+    cfg2["load_checkpoint"] = True
+    cfg2["load_last"] = True
+    t2 = Trainer(cfg2)
+    assert t2.start_epoch >= 1
+    assert int(np.asarray(t2.state.step)) > 0
+
+
+def test_loss_preset_override(tmp_path):
+    cfg = _tiny_config(tmp_path)
+    cfg["graph"]["model"] = "DeepLabv3"
+    out = apply_loss_preset(cfg, "ce")
+    assert out["loss"]["losses"] == {"CrossEntropyLoss": 1}
+    assert "ms_projector" not in out["graph"]
+    out = apply_loss_preset(cfg, "ms_cs")
+    assert out["loss"]["cross_scale_contrast"] is True
+    assert "DenseContrastiveLossV2_ms" in out["loss"]["losses"]
+
+
+def test_parse_config_mirrors_reference_surface():
+    cfg = parse_config("configs/CITYSCAPES/hrnet_contrastive_CTS.json",
+                       user="c", device=-1, dataset=-1, parallel=False)
+    assert cfg["graph"]["model"] == "HRNet"
+    assert cfg["data"]["experiment"] == 1
+    assert cfg["loss"]["losses"] == {"CrossEntropyLoss": 1,
+                                     "DenseContrastiveLossV2_ms": 0.1}
+    assert cfg["train"]["lr_fct"] == "polynomial"
+    # defaults merged
+    assert cfg["data"]["repeat_factor_freq_thresh"] == 0.15
