@@ -1,0 +1,348 @@
+"""Fused Pallas TPU kernels for the masked dense InfoNCE.
+
+The reference materialises the (T·V)² similarity matrix in HBM
+(``losses/DenseContrastiveLossV2.py:150``, up to 400 MB).  The XLA path in
+``ops/infonce.py`` streams row blocks; this module goes further and fuses
+matmul + exp + masking + reductions into Pallas kernels so logits never
+leave VMEM, with an analytic custom VJP (the backward recomputes z tiles —
+flash-attention-style, zero residual logits).
+
+Math (per anchor row i over columns j):
+    z_ij  = <fa_i, fb_j> / t                (inputs pre-L2-normalised)
+    NS_i  = sum_j neg_ij e^{z_ij}
+    L_i   = (1/max(P_i,1)) sum_j pos_ij [z_ij - log(e^{z_ij} + NS_i)]
+returned per-row; the caller takes the masked mean.  Gradients:
+    dL_i/dz_ij = (1/P_i) (1 - e^z/(e^z+NS_i))        for positive pairs
+    dL_i/dz_ik = -(1/P_i) S_i e^{z_ik}               for negative pairs
+    with S_i = sum_j pos_ij / (e^{z_ij} + NS_i)      (saved from forward)
+    dfa = (dZ fb)/t,  dfb = (dZ^T fa)/t.
+
+Masks are recomputed from labels/validity in every tile (bytes in VMEM
+instead of an M×M mask in HBM).  Self-pairs are excluded via global row/col
+indices when ``exclude_self`` (the single-scale loss); the cross-scale loss
+keeps them.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 256  # rows/cols per tile; multiples of the fp32 (8, 128) min tile
+
+
+def _interpret() -> bool:
+    """Run kernels in interpreter mode off-TPU (CPU tests)."""
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _masks(la, va, ia, lb, vb, ib, exclude_self: bool):
+    """Tile masks from int32 label/valid/index column vectors."""
+    pair = (va != 0) & (vb.T != 0)
+    same = la == lb.T
+    pos = pair & same
+    if exclude_self:
+        pos = pos & (ia != ib.T)
+    neg = pair & jnp.logical_not(same)
+    return pos.astype(jnp.float32), neg.astype(jnp.float32)
+
+
+# --------------------------------------------------------------- forward ---
+
+def _fwd_kernel(fa_ref, la_ref, va_ref, ia_ref,
+                fb_ref, lb_ref, vb_ref, ib_ref,
+                out_l_ref, out_ns_ref, out_s_ref, out_p_ref,
+                acc_ns, acc_s, acc_num, acc_p,
+                *, inv_temp: float, exclude_self: bool, n_cols: int):
+    phase = pl.program_id(1)
+    c = pl.program_id(2)
+
+    z = jax.lax.dot_general(
+        fa_ref[:], fb_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * inv_temp
+    ez = jnp.exp(z)
+    pos, neg = _masks(la_ref[:], va_ref[:], ia_ref[:],
+                      lb_ref[:], vb_ref[:], ib_ref[:], exclude_self)
+
+    @pl.when((phase == 0) & (c == 0))
+    def _():
+        acc_ns[:] = jnp.zeros_like(acc_ns)
+        acc_p[:] = jnp.zeros_like(acc_p)
+
+    @pl.when(phase == 0)
+    def _():
+        acc_ns[:] += jnp.sum(ez * neg, axis=1, keepdims=True)
+        acc_p[:] += jnp.sum(pos, axis=1, keepdims=True)
+
+    @pl.when((phase == 1) & (c == 0))
+    def _():
+        acc_num[:] = jnp.zeros_like(acc_num)
+        acc_s[:] = jnp.zeros_like(acc_s)
+
+    @pl.when(phase == 1)
+    def _():
+        ns = acc_ns[:]
+        denom = ez + ns
+        acc_num[:] += jnp.sum(pos * (z - jnp.log(denom)), axis=1, keepdims=True)
+        acc_s[:] += jnp.sum(pos / denom, axis=1, keepdims=True)
+
+    @pl.when((phase == 1) & (c == n_cols - 1))
+    def _():
+        p = acc_p[:]
+        out_l_ref[:] = acc_num[:] / jnp.maximum(p, 1.0)
+        out_ns_ref[:] = acc_ns[:]
+        out_s_ref[:] = acc_s[:]
+        out_p_ref[:] = p
+
+
+def _fwd_call(fa, la, va, ia, fb, lb, vb, ib, *, inv_temp, exclude_self):
+    m_a, c_dim = fa.shape
+    m_b = fb.shape[0]
+    rows, cols = m_a // TILE, m_b // TILE
+
+    def col(x, dtype):
+        return x.reshape(-1, 1).astype(dtype)
+
+    grid = (rows, 2, cols)
+    kern = functools.partial(_fwd_kernel, inv_temp=inv_temp,
+                             exclude_self=exclude_self, n_cols=cols)
+    row_spec = pl.BlockSpec((TILE, 1), lambda r, p, c: (r, 0),
+                            memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((TILE, 1), lambda r, p, c: (c, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = [pl.BlockSpec((TILE, 1), lambda r, p, c: (r, 0),
+                              memory_space=pltpu.VMEM)] * 4
+    out_shape = [jax.ShapeDtypeStruct((m_a, 1), jnp.float32)] * 4
+    l_row, ns, s, p = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE, c_dim), lambda r, p, c: (r, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec, row_spec, row_spec,
+            pl.BlockSpec((TILE, c_dim), lambda r, p, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            col_spec, col_spec, col_spec,
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((TILE, 1), jnp.float32)] * 4,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * m_a * m_b * c_dim,
+            bytes_accessed=(m_a + m_b) * c_dim * 4 * 2,
+            transcendentals=2 * m_a * m_b),
+        interpret=_interpret(),
+    )(fa, col(la, jnp.int32), col(va, jnp.int32),
+      col(ia, jnp.int32), fb, col(lb, jnp.int32),
+      col(vb, jnp.int32), col(ib, jnp.int32))
+    return l_row[:, 0], ns, s, p
+
+
+# -------------------------------------------------------------- backward ---
+
+def _dz_tile(fa_t, fb_t, la, va, ia, lb, vb, ib, g, ns, s, p,
+             *, inv_temp, exclude_self):
+    z = jax.lax.dot_general(fa_t, fb_t, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * inv_temp
+    ez = jnp.exp(z)
+    pos, neg = _masks(la, va, ia, lb, vb, ib, exclude_self)
+    inv_p = g / jnp.maximum(p, 1.0)              # (TR, 1): cotangent / P_i
+    dpos = inv_p * (1.0 - ez / (ez + ns))
+    dneg = -inv_p * s * ez
+    return (pos * dpos + neg * dneg) * inv_temp
+
+
+def _bwd_da_kernel(fa_ref, la_ref, va_ref, ia_ref,
+                   fb_ref, lb_ref, vb_ref, ib_ref,
+                   g_ref, ns_ref, s_ref, p_ref, out_ref, acc,
+                   *, inv_temp, exclude_self, n_cols):
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    dz = _dz_tile(fa_ref[:], fb_ref[:], la_ref[:], va_ref[:], ia_ref[:],
+                  lb_ref[:], vb_ref[:], ib_ref[:], g_ref[:], ns_ref[:],
+                  s_ref[:], p_ref[:], inv_temp=inv_temp,
+                  exclude_self=exclude_self)
+    acc[:] += jnp.dot(dz, fb_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(c == n_cols - 1)
+    def _():
+        out_ref[:] = acc[:]
+
+
+def _bwd_db_kernel(fa_ref, la_ref, va_ref, ia_ref,
+                   fb_ref, lb_ref, vb_ref, ib_ref,
+                   g_ref, ns_ref, s_ref, p_ref, out_ref, acc,
+                   *, inv_temp, exclude_self, n_rows):
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    dz = _dz_tile(fa_ref[:], fb_ref[:], la_ref[:], va_ref[:], ia_ref[:],
+                  lb_ref[:], vb_ref[:], ib_ref[:], g_ref[:], ns_ref[:],
+                  s_ref[:], p_ref[:], inv_temp=inv_temp,
+                  exclude_self=exclude_self)
+    acc[:] += jax.lax.dot_general(dz, fa_ref[:], (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+
+    @pl.when(r == n_rows - 1)
+    def _():
+        out_ref[:] = acc[:]
+
+
+def _bwd_call(fa, la, va, ia, fb, lb, vb, ib, g, ns, s, p,
+              *, inv_temp, exclude_self):
+    m_a, c_dim = fa.shape
+    m_b = fb.shape[0]
+    rows, cols = m_a // TILE, m_b // TILE
+
+    def col(x, dtype=jnp.float32):
+        return x.reshape(-1, 1).astype(dtype)
+
+    la2, va2, ia2 = col(la, jnp.int32), col(va, jnp.int32), col(ia, jnp.int32)
+    lb2, vb2, ib2 = col(lb, jnp.int32), col(vb, jnp.int32), col(ib, jnp.int32)
+    g2 = g.reshape(-1, 1).astype(jnp.float32)
+
+    row = lambda r, c: (r, 0)
+    colm = lambda r, c: (c, 0)
+    # dfa: grid (rows, cols), row-stationary accumulation over cols
+    dfa = pl.pallas_call(
+        functools.partial(_bwd_da_kernel, inv_temp=inv_temp,
+                          exclude_self=exclude_self, n_cols=cols),
+        grid=(rows, cols),
+        in_specs=[
+            pl.BlockSpec((TILE, c_dim), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, c_dim), colm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), colm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), colm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), colm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), row, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, c_dim), row, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_a, c_dim), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TILE, c_dim), jnp.float32)],
+        interpret=_interpret(),
+    )(fa, la2, va2, ia2, fb, lb2, vb2, ib2, g2, ns, s, p)
+
+    # dfb: grid (cols, rows), col-stationary accumulation over rows
+    arow = lambda c, r: (r, 0)
+    acol = lambda c, r: (c, 0)
+    dfb = pl.pallas_call(
+        functools.partial(_bwd_db_kernel, inv_temp=inv_temp,
+                          exclude_self=exclude_self, n_rows=rows),
+        grid=(cols, rows),
+        in_specs=[
+            pl.BlockSpec((TILE, c_dim), arow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), arow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), arow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), arow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, c_dim), acol, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), acol, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), acol, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), acol, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), arow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), arow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), arow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), arow, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, c_dim), acol, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_b, c_dim), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TILE, c_dim), jnp.float32)],
+        interpret=_interpret(),
+    )(fa, la2, va2, ia2, fb, lb2, vb2, ib2, g2, ns, s, p)
+    return dfa, dfb
+
+
+# ------------------------------------------------------------ public API ---
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _infonce_rows(fa, la, va, ia, fb, lb, vb, ib, inv_temp, exclude_self):
+    l_row, _, _, _ = _fwd_call(fa, la, va, ia, fb, lb, vb, ib,
+                               inv_temp=inv_temp, exclude_self=exclude_self)
+    return l_row
+
+
+def _infonce_rows_fwd(fa, la, va, ia, fb, lb, vb, ib, inv_temp, exclude_self):
+    l_row, ns, s, p = _fwd_call(fa, la, va, ia, fb, lb, vb, ib,
+                                inv_temp=inv_temp, exclude_self=exclude_self)
+    return l_row, (fa, la, va, ia, fb, lb, vb, ib, ns, s, p)
+
+
+def _infonce_rows_bwd(inv_temp, exclude_self, res, g):
+    fa, la, va, ia, fb, lb, vb, ib, ns, s, p = res
+    dfa, dfb = _bwd_call(fa, la, va, ia, fb, lb, vb, ib, g, ns, s, p,
+                         inv_temp=inv_temp, exclude_self=exclude_self)
+    return (dfa, None, None, None, dfb, None, None, None)
+
+
+_infonce_rows.defvjp(_infonce_rows_fwd, _infonce_rows_bwd)
+
+
+def _l2_normalize(x, eps=1e-12):
+    sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+    safe = jnp.where(sq > 0, sq, 1.0)
+    out = x / jnp.maximum(jnp.sqrt(safe), eps)
+    return jnp.where(sq > 0, out, 0.0)
+
+
+def _pad_rows(x, m, fill=0):
+    pad = m - x.shape[0]
+    if pad == 0:
+        return x
+    cfg = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, cfg, constant_values=fill)
+
+
+def _masked_infonce_pallas(fa, la, va, fb, lb, vb, *, temperature,
+                           exclude_self):
+    m_a = _round_up(fa.shape[0], TILE)
+    m_b = _round_up(fb.shape[0], TILE)
+    n_rows_valid = jnp.sum(va.astype(jnp.float32))
+    fa_n = _l2_normalize(fa.astype(jnp.float32))
+    fb_n = _l2_normalize(fb.astype(jnp.float32))
+    ia = jnp.arange(m_a, dtype=jnp.int32)
+    ib = jnp.arange(m_b, dtype=jnp.int32)
+    args = (_pad_rows(fa_n, m_a), _pad_rows(la.astype(jnp.int32), m_a),
+            _pad_rows(va, m_a, False), ia,
+            _pad_rows(fb_n, m_b), _pad_rows(lb.astype(jnp.int32), m_b),
+            _pad_rows(vb, m_b, False), ib)
+    l_row = _infonce_rows(*args, float(1.0 / temperature), exclude_self)
+    va_f = _pad_rows(va, m_a, False).astype(jnp.float32)
+    total = jnp.sum(l_row * va_f)
+    return -total / jnp.maximum(n_rows_valid, 1.0)
+
+
+def masked_infonce_pallas(features, labels, valid, *, temperature):
+    """Self-contrast InfoNCE, fused TPU kernel (drop-in for
+    ops.infonce.masked_infonce)."""
+    return _masked_infonce_pallas(features, labels, valid,
+                                  features, labels, valid,
+                                  temperature=temperature, exclude_self=True)
+
+
+def masked_infonce_cross_pallas(features_a, labels_a, valid_a,
+                                features_b, labels_b, valid_b, *,
+                                temperature):
+    """Cross-scale InfoNCE, fused TPU kernel (drop-in for
+    ops.infonce.masked_infonce_cross)."""
+    return _masked_infonce_pallas(features_a, labels_a, valid_a,
+                                  features_b, labels_b, valid_b,
+                                  temperature=temperature, exclude_self=False)
