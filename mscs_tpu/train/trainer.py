@@ -38,6 +38,7 @@ from mscs_tpu.data import (
 from mscs_tpu.losses import LossWrapper
 from mscs_tpu.models import build_model
 from mscs_tpu.ops.metrics import mean_iou, pixel_accuracy
+from mscs_tpu.ops.resize import resize_bilinear
 from mscs_tpu.parallel import make_mesh, replicate, shard_batch
 from mscs_tpu.train.checkpoint import CheckpointManager
 from mscs_tpu.train.optim import build_optimizer
@@ -266,6 +267,86 @@ class Trainer:
                               self.metrics["best_miou"], 0.0, tag="last")
         self.write_info_json()
         return self.metrics
+
+    # ------------------------------------------------------------- inference
+    def post_process_output(self, logits: np.ndarray, label: np.ndarray,
+                            metadata: dict | None):
+        """Undo val-resize/pad via metadata (ref HRNet_Manager.py:56-80):
+        strip fit-stride padding, resize logits back to the pre-resize shape,
+        and evaluate against the original labels when provided."""
+        if not metadata:
+            return logits, label
+        if "pw_ph_stride" in metadata:
+            pw, ph, stride = metadata["pw_ph_stride"]
+            if pw > 0:
+                logits = logits[:, :, :logits.shape[2] - pw]
+            if ph > 0:
+                logits = logits[:, :logits.shape[1] - ph]
+        if "original_labels" in metadata:
+            orig = np.asarray(metadata["original_labels"])
+            logits = np.asarray(jax.device_get(resize_bilinear(
+                jnp.asarray(logits), orig.shape[-2:],
+                align_corners=self.config["graph"].get("align_corners", True))))
+            label = orig[None] if orig.ndim == 2 else orig
+        return logits, label
+
+    def infer(self) -> dict[str, float]:
+        """TTA evaluation (ref BaseManager.infer :585-675)."""
+        from mscs_tpu.models.tta import build_tta
+        from mscs_tpu.ops.metrics import confusion_matrix as cm_fn
+        from mscs_tpu.train.state import split_outputs
+
+        if self.config.get("load_checkpoint"):
+            which = "last" if self.config.get("load_last") else "best"
+            self.state, _ = self.checkpoints.load(self.state, which)
+
+        state = self.state
+
+        def apply_fn(image):
+            outputs = state.apply_fn(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                image, train=False)
+            logits, _, _ = split_outputs(outputs, self.has_interm,
+                                         self.has_proj)
+            return logits
+
+        use_tta = self.config.get("tta", False)
+        tta = build_tta(jax.jit(apply_fn), self.config, self.num_classes) \
+            if use_tta else None
+        cm = np.zeros((self.num_classes, self.num_classes), np.int64)
+        limit = (10 if self.debugging else len(self.valid_loader))
+        save_dir = None
+        if self.config.get("save_outputs"):
+            save_dir = self.log_dir / "outputs"
+            save_dir.mkdir(exist_ok=True)
+        for i, batch in enumerate(self.valid_loader):
+            if i >= limit:
+                break
+            img = jnp.asarray(batch["image"])
+            logits = tta(img) if tta else jax.jit(apply_fn)(img)
+            logits = np.asarray(jax.device_get(logits))
+            meta = (batch["metadata"][0] if batch.get("metadata") else None)
+            logits, label = self.post_process_output(
+                logits, np.asarray(batch["label"]), meta)
+            cm += np.asarray(jax.device_get(cm_fn(
+                jnp.asarray(logits), jnp.asarray(label),
+                self.num_classes)), np.int64)
+            if save_dir is not None:
+                from mscs_tpu.utils.viz import save_submission_png
+                pred = np.argmax(logits[0], axis=-1)
+                save_submission_png(pred, save_dir / f"{i:06d}.png",
+                                    self.dataset, self.experiment)
+        mious = mean_iou(jnp.asarray(cm), self.dataset, self.experiment,
+                         categories=True)
+        result = {"miou": mious["mean_iou"]}
+        result.update({f"miou_{k}": v
+                       for k, v in mious.get("categories", {}).items()})
+        out_name = datetime.datetime.now().strftime("%Y%m%d") + (
+            "_infer_tta.json" if use_tta else "_infer.json")
+        with open(self.log_dir / out_name, "w") as f:
+            json.dump(result, f, indent=2)
+        printlog(f"inference: {result}")
+        return result
 
     def write_info_json(self) -> None:
         """Crash-resilient metrics persistence (ref :414-433)."""

@@ -1,0 +1,70 @@
+"""Visualisation + submission-output helpers.
+
+Port of the reference colormap/submission utilities
+(``utils/utils.py:176-282`` mask_to_colormap / to_comb_image,
+``utils/utils.py:521-532`` reverse_mapping for submission ids,
+``utils/defaults.py:25-170`` per-dataset colormaps — the colour tables live
+as data in ``data/datasets_info/colormaps.json``).
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from mscs_tpu.data.datasets_info import DATASETS_INFO, num_all_classes
+from mscs_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+_HERE = os.path.join(os.path.dirname(__file__), "..", "data", "datasets_info")
+
+
+def get_colormap(dataset: str) -> np.ndarray:
+    with open(os.path.join(_HERE, "colormaps.json")) as f:
+        return np.asarray(json.load(f)[dataset], np.uint8)
+
+
+def reverse_mapping(dataset: str, experiment: int) -> np.ndarray:
+    """network id -> raw dataset id (first raw id of each remap entry), for
+    submission PNGs (ref utils.py:521-532 + save_output)."""
+    remap = DATASETS_INFO[dataset].CLASS_INFO[experiment][0]
+    n = num_all_classes(dataset, experiment)
+    lut = np.zeros((n,), np.int32)
+    for train_id, raw_ids in remap.items():
+        t = n - 1 if train_id == 255 else train_id
+        if 0 <= t < n:
+            lut[t] = raw_ids[0] if raw_ids else 0
+    return lut
+
+
+def mask_to_colormap(mask: np.ndarray, dataset: str,
+                     experiment: int) -> np.ndarray:
+    """Network-id mask (H, W) -> RGB (H, W, 3) via raw-id colormap."""
+    cm = get_colormap(dataset)
+    raw = reverse_mapping(dataset, experiment)[
+        np.clip(mask, 0, num_all_classes(dataset, experiment) - 1)]
+    return cm[np.clip(raw, 0, len(cm) - 1)]
+
+
+def un_normalise(img: np.ndarray) -> np.ndarray:
+    """Invert ImageNet normalisation -> uint8 RGB."""
+    x = img * IMAGENET_STD + IMAGENET_MEAN
+    return (np.clip(x, 0, 1) * 255).astype(np.uint8)
+
+
+def to_comb_image(img: np.ndarray, lbl: np.ndarray, pred: np.ndarray | None,
+                  dataset: str, experiment: int) -> np.ndarray:
+    """Side-by-side [image | label | prediction] RGB panel (ref :262-282)."""
+    panels = [un_normalise(img), mask_to_colormap(lbl, dataset, experiment)]
+    if pred is not None:
+        panels.append(mask_to_colormap(pred, dataset, experiment))
+    return np.concatenate(panels, axis=1)
+
+
+def save_submission_png(mask: np.ndarray, path, dataset: str,
+                        experiment: int) -> None:
+    """Write the raw-id remapped prediction (ref BaseManager.py:677-699)."""
+    from PIL import Image
+    raw = reverse_mapping(dataset, experiment)[
+        np.clip(mask, 0, num_all_classes(dataset, experiment) - 1)]
+    Image.fromarray(raw.astype(np.uint8)).save(path)

@@ -93,3 +93,16 @@ def test_parse_config_mirrors_reference_surface():
     assert cfg["train"]["lr_fct"] == "polynomial"
     # defaults merged
     assert cfg["data"]["repeat_factor_freq_thresh"] == 0.15
+
+
+def test_trainer_infer_with_tta(tmp_path):
+    cfg = _tiny_config(tmp_path)
+    cfg["tta"] = True
+    cfg["tta_scales"] = [0.5]
+    cfg["tta_base_size"] = 48  # keep the CTS long-side protocol test-sized
+    cfg["save_outputs"] = True
+    trainer = Trainer(cfg)
+    result = trainer.infer()
+    assert 0.0 <= result["miou"] <= 1.0
+    assert any(trainer.log_dir.glob("*_infer_tta.json"))
+    assert any((trainer.log_dir / "outputs").glob("*.png"))
