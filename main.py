@@ -82,10 +82,16 @@ def main() -> None:
     if mode == "training":
         metrics = trainer.train()
         printlog(f"training done: {metrics}")
-    elif mode == "inference":
+        if config.get("run_final_val"):
+            trainer.infer()
+    elif mode in ("inference", "submission_inference"):
         trainer.infer()
+    elif mode == "demo_tsne":
+        trainer.demo_tsne()
+    elif mode == "diagnostics":
+        trainer.run_diagnostic()
     else:
-        raise ValueError(f"mode {mode} not supported yet")
+        raise ValueError(f"mode {mode} not supported")
 
 
 if __name__ == "__main__":

@@ -348,6 +348,71 @@ class Trainer:
         printlog(f"inference: {result}")
         return result
 
+    def demo_tsne(self) -> None:
+        """t-SNE scatter of per-class projector features
+        (ref BaseManager.demo_tsne :701-783)."""
+        from mscs_tpu.train.state import split_outputs
+        from mscs_tpu.utils.tsne import TsneManager
+
+        if self.config.get("load_checkpoint"):
+            which = "last" if self.config.get("load_last") else "best"
+            self.state, _ = self.checkpoints.load(self.state, which)
+        scale = self.config.get("tsne_scale", 32) or 32
+        mgr = TsneManager(self.dataset, self.experiment, scale=scale)
+        state = self.state
+
+        @jax.jit
+        def feats_fn(image):
+            outputs = state.apply_fn(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                image, train=False)
+            _, _, feats = split_outputs(outputs, self.has_interm,
+                                        self.has_proj)
+            if isinstance(feats, (list, tuple)):
+                # pick the scale closest to the requested stride
+                strides = [image.shape[1] // f.shape[1] for f in feats]
+                feats = feats[int(np.argmin([abs(s - scale) for s in strides]))]
+            return feats
+
+        limit = 10 if self.debugging else len(self.valid_loader)
+        for i, batch in enumerate(self.valid_loader):
+            if i >= limit:
+                break
+            feats = feats_fn(jnp.asarray(batch["image"]))
+            mgr.accumulate(feats, jnp.asarray(batch["label"]))
+        out = self.log_dir / f"tsne_scale{scale}.png"
+        mgr.compute_and_plot(out)
+        printlog(f"t-SNE written to {out}")
+
+    def run_diagnostic(self, n_images: int = 4) -> None:
+        """Render dominant-class-vs-label panels to eyeball the loss's label
+        downsampling (ref LoggingManager.run_diagnostic :456-523)."""
+        from mscs_tpu.ops.resize import downsample_labels_nearest
+        from mscs_tpu.utils.viz import mask_to_colormap
+        from PIL import Image as PILImage
+
+        out_dir = self.log_dir / "diagnostics"
+        out_dir.mkdir(exist_ok=True)
+        for i, batch in enumerate(self.valid_loader):
+            if i >= n_images:
+                break
+            lbl = jnp.asarray(batch["label"])
+            panels = [mask_to_colormap(np.asarray(lbl[0]), self.dataset,
+                                       self.experiment)]
+            for s in (4, 8, 16, 32):
+                down = np.asarray(downsample_labels_nearest(lbl, s))[0]
+                up = np.kron(down, np.ones((s, s), np.int32))
+                up = up[:lbl.shape[1], :lbl.shape[2]]
+                pad = ((0, lbl.shape[1] - up.shape[0]),
+                       (0, lbl.shape[2] - up.shape[1]))
+                if any(p[1] > 0 for p in pad):
+                    up = np.pad(up, pad, mode="edge")
+                panels.append(mask_to_colormap(up, self.dataset,
+                                               self.experiment))
+            img = np.concatenate(panels, axis=1)
+            PILImage.fromarray(img).save(out_dir / f"diag_{i:03d}.png")
+        printlog(f"diagnostics written to {out_dir}")
+
     def write_info_json(self) -> None:
         """Crash-resilient metrics persistence (ref :414-433)."""
         info = {"config": _jsonable(self.config), "metrics": self.metrics,

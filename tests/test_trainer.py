@@ -106,3 +106,12 @@ def test_trainer_infer_with_tta(tmp_path):
     assert 0.0 <= result["miou"] <= 1.0
     assert any(trainer.log_dir.glob("*_infer_tta.json"))
     assert any((trainer.log_dir / "outputs").glob("*.png"))
+
+
+def test_trainer_demo_tsne_and_diagnostics(tmp_path):
+    cfg = _tiny_config(tmp_path)
+    trainer = Trainer(cfg)
+    trainer.demo_tsne()
+    assert any(trainer.log_dir.glob("tsne_scale*.png"))
+    trainer.run_diagnostic(n_images=1)
+    assert any((trainer.log_dir / "diagnostics").glob("diag_*.png"))
