@@ -10,6 +10,7 @@ columns = target class, shape (C, C) over the *real* (non-ignore) classes.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -91,3 +92,36 @@ def mean_iou(cm: jnp.ndarray, dataset: str, experiment: int,
             ids = [c for c in ids if c != 255]
             out["categories"][cat] = float(iou[ids].mean()) if ids else 0.0
     return out
+
+
+def sliding_miou(prediction: jnp.ndarray, target: jnp.ndarray,
+                 kernel_size: int, stride: int) -> jnp.ndarray:
+    """Windowed mean-IoU map (ref ``utils/torch_utils.py:125-154``).
+
+    :param prediction: logits (N, H, W, C) or argmaxed (N, H, W)
+    :param target: (N, H, W) int labels
+    :returns: (N, n_win_h, n_win_w) per-window mean IoU (windows with empty
+        union per class count as IoU 1, like the reference).
+    """
+    assert kernel_size % 2 == 1, "kernel size needs to be odd"
+    if prediction.ndim == target.ndim + 1:
+        num_classes = prediction.shape[-1]
+        pred = jnp.argmax(prediction, axis=-1)
+    else:
+        num_classes = int(jnp.max(target)) + 1 if not hasattr(
+            prediction, "shape") else int(prediction.max()) + 1
+        pred = prediction
+    p1 = jax.nn.one_hot(pred, num_classes, dtype=jnp.float32)
+    t1 = jax.nn.one_hot(target, num_classes, dtype=jnp.float32)
+
+    def window_sums(x):
+        # (N, H, W, C) -> (N, wh, ww, C) sums over kernel windows at stride
+        return jax.lax.reduce_window(
+            x, 0.0, jax.lax.add,
+            (1, kernel_size, kernel_size, 1), (1, stride, stride, 1),
+            "VALID")
+
+    inter = window_sums(p1 * t1)
+    union = window_sums(jnp.maximum(p1, t1))
+    iou = jnp.where(union > 0, inter / jnp.where(union == 0, 1.0, union), 1.0)
+    return jnp.mean(iou, axis=-1)

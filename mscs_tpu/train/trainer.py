@@ -188,10 +188,18 @@ class Trainer:
         accum: dict[str, float] = {}
         cm = np.zeros((self.num_classes, self.num_classes), np.int64)
         seen = 0
+        profile_steps = self.config.get("profile_steps", 0)
         t0 = time.time()
         for i, batch in enumerate(self.train_loader):
             if i >= limit:
                 break
+            if epoch == self.start_epoch and profile_steps:
+                # jax.profiler trace of the first steps (the reference only
+                # had wall-clock prints — SURVEY.md §5)
+                if i == 1:
+                    jax.profiler.start_trace(str(self.log_dir / "profile"))
+                if i == 1 + profile_steps:
+                    jax.profiler.stop_trace()
             device_batch = shard_batch(self.mesh, {
                 "image": batch["image"], "label": batch["label"]})
             self.state, logs = self.train_step(

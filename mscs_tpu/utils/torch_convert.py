@@ -125,3 +125,153 @@ def merge_backbone(variables: dict, converted: dict,
     if converted.get("batch_stats"):
         out["batch_stats"][scope] = converted["batch_stats"]
     return out
+
+
+# --------------------------------------------------------------------------
+# HRNet (HRNet-Image-Classification naming) -> models.hrnet.HighResolutionNet
+# --------------------------------------------------------------------------
+
+def convert_hrnet(sd: dict, variant: str = "hrnet48") -> dict:
+    """Official hrnetv2_w{18,32,48}_imagenet state_dict -> Flax trees
+    (ref loader models/HRNet.py:657-684)."""
+    from mscs_tpu.models.hrnet import HRNET_STAGE_SPECS
+    sd = strip_module_prefix(sd)
+    spec = HRNET_STAGE_SPECS[variant]
+    p: dict = {}
+    bs: dict = {}
+
+    def cbn(conv_key, bn_key, name):
+        node_p = {"conv": {"conv": {}}, "norm": {"bn": {}}}
+        node_b = {"norm": {"bn": {}}}
+        convert_conv(sd, conv_key, node_p["conv"]["conv"])
+        convert_bn(sd, bn_key, node_p["norm"]["bn"], node_b["norm"]["bn"])
+        p[name] = node_p
+        bs[name] = node_b
+
+    def block(base, name, n_convs, has_down):
+        node_p: dict = {}
+        node_b: dict = {}
+        for ci in range(n_convs):
+            sp = {"conv": {"conv": {}}, "norm": {"bn": {}}}
+            sb = {"norm": {"bn": {}}}
+            convert_conv(sd, f"{base}.conv{ci+1}", sp["conv"]["conv"])
+            convert_bn(sd, f"{base}.bn{ci+1}", sp["norm"]["bn"], sb["norm"]["bn"])
+            node_p[f"cb{ci+1}"] = sp
+            node_b[f"cb{ci+1}"] = sb
+        if has_down:
+            sp = {"conv": {"conv": {}}, "norm": {"bn": {}}}
+            sb = {"norm": {"bn": {}}}
+            convert_conv(sd, f"{base}.downsample.0", sp["conv"]["conv"])
+            convert_bn(sd, f"{base}.downsample.1", sp["norm"]["bn"], sb["norm"]["bn"])
+            node_p["down"] = sp
+            node_b["down"] = sb
+        p[name] = node_p
+        bs[name] = node_b
+
+    cbn("conv1", "bn1", "stem1")
+    cbn("conv2", "bn2", "stem2")
+    _, _, nblk1, _, _ = spec["stage1"]
+    for b in range(nblk1[0]):
+        block(f"layer1.{b}", f"layer1_{b}", 3, b == 0)
+
+    prev_branches = 1
+    for t, stage_key in enumerate(["stage2", "stage3", "stage4"], start=1):
+        n_mod, n_br, nblk, nch, _ = spec[stage_key]
+        # transitions
+        for i in range(n_br):
+            if i < prev_branches:
+                if f"transition{t}.{i}.0.weight" in sd:
+                    cbn(f"transition{t}.{i}.0", f"transition{t}.{i}.1",
+                        f"transition{t}_{i}")
+            else:
+                for j in range(i + 1 - prev_branches):
+                    cbn(f"transition{t}.{i}.{j}.0", f"transition{t}.{i}.{j}.1",
+                        f"transition{t}_{i}_{j}")
+        # modules
+        for m in range(n_mod):
+            mod_p: dict = {}
+            mod_b: dict = {}
+            sub_p, sub_bs = p, bs  # write into temp dicts via closure swap
+            saved = (p, bs)
+            p, bs = mod_p, mod_b
+            base = f"{stage_key}.{m}"
+            for i in range(n_br):
+                for b in range(nblk[i]):
+                    block(f"{base}.branches.{i}.{b}", f"branch{i}_block{b}",
+                          2, f"{base}.branches.{i}.{b}.downsample.0.weight" in sd)
+            for i in range(n_br):
+                for j in range(n_br):
+                    if j > i:
+                        cbn(f"{base}.fuse_layers.{i}.{j}.0",
+                            f"{base}.fuse_layers.{i}.{j}.1", f"fuse{i}_{j}")
+                    elif j < i:
+                        for k in range(i - j):
+                            cbn(f"{base}.fuse_layers.{i}.{j}.{k}.0",
+                                f"{base}.fuse_layers.{i}.{j}.{k}.1",
+                                f"fuse{i}_{j}_{k}")
+            p, bs = saved
+            p[f"{stage_key}_module{m}"] = mod_p
+            bs[f"{stage_key}_module{m}"] = mod_b
+        prev_branches = n_br
+    return {"params": p, "batch_stats": bs}
+
+
+# --------------------------------------------------------------------------
+# Swin (official MSRA naming) -> models.swin.SwinTransformer
+# --------------------------------------------------------------------------
+
+def _resize_bias_table(table: np.ndarray, new_len: int) -> np.ndarray:
+    """Bicubic relative-position-bias interpolation on window-size mismatch
+    (ref models/Swin.py:698-716)."""
+    old = int(np.sqrt(table.shape[0]))
+    new = int(np.sqrt(new_len))
+    if old == new:
+        return table
+    import cv2
+    t = table.reshape(old, old, -1)
+    t = cv2.resize(t, (new, new), interpolation=cv2.INTER_CUBIC)
+    return t.reshape(new * new, -1)
+
+
+def convert_swin(sd: dict, variant: str = "swinT") -> dict:
+    """Official swin_*_patch4_window7_224 state_dict -> Flax params tree."""
+    from mscs_tpu.models.swin import SWIN_VARIANTS
+    sd = strip_module_prefix(sd)
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+    spec = SWIN_VARIANTS[variant]
+    depths = spec["depths"]
+    p: dict = {}
+
+    p["patch_embed"] = {}
+    convert_conv(sd, "patch_embed.proj", p["patch_embed"])
+    if "patch_embed.norm.weight" in sd:
+        p["patch_norm"] = {}
+        convert_ln(sd, "patch_embed.norm", p["patch_norm"])
+
+    for s, depth in enumerate(depths):
+        for d in range(depth):
+            base = f"layers.{s}.blocks.{d}"
+            blk: dict = {"norm1": {}, "norm2": {},
+                         "attn": {"qkv": {}, "proj": {}},
+                         "mlp_fc1": {}, "mlp_fc2": {}}
+            convert_ln(sd, f"{base}.norm1", blk["norm1"])
+            convert_ln(sd, f"{base}.norm2", blk["norm2"])
+            convert_dense(sd, f"{base}.attn.qkv", blk["attn"]["qkv"])
+            convert_dense(sd, f"{base}.attn.proj", blk["attn"]["proj"])
+            convert_dense(sd, f"{base}.mlp.fc1", blk["mlp_fc1"])
+            convert_dense(sd, f"{base}.mlp.fc2", blk["mlp_fc2"])
+            table = _as_np(sd[f"{base}.attn.relative_position_bias_table"])
+            blk["attn"]["relative_position_bias_table"] = table
+            p[f"stage{s}_block{d}"] = blk
+        if s < len(depths) - 1 and f"layers.{s}.downsample.reduction.weight" in sd:
+            m: dict = {"norm": {}, "reduction": {}}
+            convert_ln(sd, f"layers.{s}.downsample.norm", m["norm"])
+            convert_dense(sd, f"layers.{s}.downsample.reduction",
+                          m["reduction"])
+            p[f"merge{s}"] = m
+    for s in range(len(depths)):
+        if f"norm{s}.weight" in sd:
+            p[f"norm{s}"] = {}
+            convert_ln(sd, f"norm{s}", p[f"norm{s}"])
+    return {"params": p}
