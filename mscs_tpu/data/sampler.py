@@ -45,3 +45,41 @@ def repeat_factor_indices(repeat_factors: np.ndarray, epoch: int,
     if shuffle:
         idx = rng.permutation(idx)
     return idx
+
+
+def cadis_repeat_factors(df, experiment: int, repeat_thresh: float) -> np.ndarray:
+    """Per-image repeat factors for a CaDIS dataframe (ref
+    ``utils/repeat_factor_sampling.py:13-63``): class frequency = fraction of
+    frames containing the class (summed over canonical classes mapped into
+    each experiment class), rf(c) = max(1, sqrt(t/f)), image rf = max over
+    present classes."""
+    from mscs_tpu.data.datasets_info import DATASETS_INFO
+    info = DATASETS_INFO["CADIS"]
+    canonical_names = info.CLASS_NAMES[0]
+    canon_name_to_id = {v: k for k, v in info.CLASS_INFO[0][1].items()}
+    # canonical id -> experiment class id
+    canon_to_exp = {}
+    for exp_cls, raw_ids in info.CLASS_INFO[experiment][0].items():
+        for raw in raw_ids:
+            canon_to_exp[raw] = exp_cls
+    n = len(df)
+    cls_freqs: dict[int, float] = {}
+    for name in canonical_names:
+        cid = canon_name_to_id[name]
+        exp_cls = canon_to_exp.get(cid)
+        if exp_cls is None:
+            continue
+        cls_freqs.setdefault(exp_cls, 0.0)
+        if name in df.columns:
+            cls_freqs[exp_cls] += float((df[name] > 0).sum()) / n
+    cls_rfs = {c: max(1.0, np.sqrt(repeat_thresh / (f if f > 0 else repeat_thresh)))
+               for c, f in cls_freqs.items()}
+    out = np.ones((n,), np.float64)
+    for i, (_, row) in enumerate(df.iterrows()):
+        rfs = [cls_rfs[canon_to_exp[canon_name_to_id[name]]]
+               for name in canonical_names
+               if name in df.columns and row[name] > 0
+               and canon_name_to_id[name] in canon_to_exp]
+        if rfs:
+            out[i] = max(rfs)
+    return out

@@ -122,13 +122,28 @@ class RandomCropImgLbl(BaseTransform):
             lbl = np.pad(lbl, pi, constant_values=self.label_pad_value)
             h, w = lbl.shape[:2]
         if self.crop_class_max_ratio:
-            for _ in range(self.patience):
-                i, j, ch, cw = self._rand_crop_params(h, w)
-                lbl_crop = lbl[i:i + ch, j:j + cw]
-                classes, cnt = np.unique(lbl_crop, return_counts=True)
-                cnt = cnt[classes != self.ignore_class]
-                if len(cnt) > 1 and cnt.max() / cnt.sum() < self.crop_class_max_ratio:
-                    break
+            from mscs_tpu.data import native
+            ch, cw = self.crop_shape
+            hit = None
+            if native.available():
+                hit = native.random_crop_class_cap(
+                    lbl, self.crop_shape,
+                    num_classes=max(int(lbl.max()) + 1, self.ignore_class + 1),
+                    ignore_cls=self.ignore_class,
+                    max_ratio=self.crop_class_max_ratio,
+                    patience=self.patience,
+                    seed=int(np.random.randint(0, 2**62)))
+            if hit is not None:
+                (i, j), _ = hit
+            else:
+                for _ in range(self.patience):
+                    i, j, ch, cw = self._rand_crop_params(h, w)
+                    lbl_crop = lbl[i:i + ch, j:j + cw]
+                    classes, cnt = np.unique(lbl_crop, return_counts=True)
+                    cnt = cnt[classes != self.ignore_class]
+                    if (len(cnt) > 1
+                            and cnt.max() / cnt.sum() < self.crop_class_max_ratio):
+                        break
             img = img[i:i + ch, j:j + cw]
             lbl = lbl[i:i + ch, j:j + cw]
         else:
@@ -249,6 +264,21 @@ class Normalize:
         return (img - self.mean) / self.std
 
 
+class ToFloatNormalize:
+    """Fused ToFloat + ImageNet Normalize; uses the native C++ kernel when
+    available (GIL-free, single pass over the image)."""
+
+    def __init__(self, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+
+    def __call__(self, img):
+        if img.dtype == np.uint8:
+            from mscs_tpu.data import native
+            return native.to_float_normalize(img, self.mean, self.std)
+        return (np.asarray(img, np.float32) / 255.0 - self.mean) / self.std
+
+
 def parse_transform_lists(transform_list: list[str],
                           transform_values: dict[str, Any],
                           dataset: str, experiment: int) -> dict[str, list]:
@@ -294,9 +324,10 @@ def parse_transform_lists(transform_list: list[str],
             pass  # appended below, after ToFloat
         else:
             raise ValueError(f"transform {t} not recognised")
-    td["img"].append(ToFloat())
     if "torchvision_normalise" in transform_list:
-        td["img"].append(Normalize())
+        td["img"].append(ToFloatNormalize())
+    else:
+        td["img"].append(ToFloat())
     return td
 
 

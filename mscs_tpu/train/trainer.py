@@ -113,6 +113,7 @@ class Trainer:
                                            self.experiment)
             self.valid_set = DatasetFromDF(valid_df, data_path, tf_val,
                                            self.experiment)
+            self._train_df = train_df
         else:
             ds_cls = DATASET_REGISTRY[self.dataset]
             split = dcfg.get("split", "train")
@@ -127,6 +128,23 @@ class Trainer:
         self.train_loader = DataLoader(
             self.train_set, self.batch_size, shuffle=True, drop_last=True,
             num_workers=dcfg.get("num_workers", 4), seed=cfg.get("seed", 0))
+        # repeat-factor epoch schedule (ref BaseManager.load_data :217-244;
+        # CaDIS recipes oversample rare-class frames between two epochs)
+        self.rf_loader = None
+        rf_range = dcfg.get("repeat_factor", [0, 0])
+        self.rf_epochs = range(0)
+        if self.dataset == "CADIS" and len(rf_range) >= 1 and rf_range[0:2] != [0, 0]:
+            if len(rf_range) == 1:
+                rf_range = [rf_range[0], cfg["train"]["epochs"]]
+            from mscs_tpu.data.sampler import cadis_repeat_factors
+            rfs = cadis_repeat_factors(
+                self._train_df, self.experiment,
+                dcfg.get("repeat_factor_freq_thresh", 0.15))
+            self.rf_loader = DataLoader(
+                self.train_set, self.batch_size, shuffle=True, drop_last=True,
+                num_workers=dcfg.get("num_workers", 4),
+                seed=cfg.get("seed", 0), repeat_factors=rfs)
+            self.rf_epochs = range(int(rf_range[0]), int(rf_range[1]))
         vb = cfg.get("valid_batch_size", 1)
         self.valid_loader = DataLoader(
             self.valid_set, vb, shuffle=False, drop_last=False,
@@ -182,15 +200,18 @@ class Trainer:
 
     # ----------------------------------------------------------------- loops
     def train_one_epoch(self, epoch: int) -> dict[str, float]:
-        self.train_loader.set_epoch(epoch)
-        n_batches = len(self.train_loader)
+        loader = (self.rf_loader if (self.rf_loader is not None
+                                     and epoch in self.rf_epochs)
+                  else self.train_loader)
+        loader.set_epoch(epoch)
+        n_batches = len(loader)
         limit = 3 if self.debugging else n_batches  # ref debug truncation
         accum: dict[str, float] = {}
         cm = np.zeros((self.num_classes, self.num_classes), np.int64)
         seen = 0
         profile_steps = self.config.get("profile_steps", 0)
         t0 = time.time()
-        for i, batch in enumerate(self.train_loader):
+        for i, batch in enumerate(loader):
             if i >= limit:
                 break
             if epoch == self.start_epoch and profile_steps:

@@ -95,3 +95,32 @@ def test_sampling_is_jittable_and_random():
     assert int(a.num_pairs) == int(b.num_pairs)
     # different keys -> different pixel draws
     assert np.abs(np.asarray(a.features) - np.asarray(b.features)).max() > 0
+
+
+def test_cadis_repeat_factors_synthetic():
+    """rf(c)=max(1,sqrt(t/f)); image rf = max over present classes."""
+    import pandas as pd
+    from mscs_tpu.data.datasets_info import DATASETS_INFO
+    from mscs_tpu.data.sampler import cadis_repeat_factors
+
+    names = DATASETS_INFO["CADIS"].CLASS_NAMES[0]
+    n = 20
+    df = pd.DataFrame({name: np.zeros(n, np.int64) for name in names})
+    df[names[0]] = 1000          # class 0 everywhere -> freq 1.0 -> rf 1
+    df.loc[0, names[2]] = 50     # rare class only in frame 0 -> freq 0.05
+    rfs = cadis_repeat_factors(df, experiment=1, repeat_thresh=0.15)
+    assert rfs.shape == (n,)
+    assert np.isclose(rfs[1:], 1.0).all()
+    assert rfs[0] > 1.0  # the rare-class frame gets oversampled
+
+
+def test_repeat_factor_indices_stochastic_rounding():
+    from mscs_tpu.data.sampler import repeat_factor_indices
+    rfs = np.array([1.0, 2.0, 1.5])
+    counts = np.zeros(3)
+    for epoch in range(200):
+        idx = repeat_factor_indices(rfs, epoch, seed=1)
+        for i in range(3):
+            counts[i] += (idx == i).sum()
+    counts /= 200
+    np.testing.assert_allclose(counts, rfs, atol=0.1)
