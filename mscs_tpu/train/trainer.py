@@ -72,6 +72,12 @@ class Trainer:
         self.valid_writer = ScalarWriter(self.log_dir, "valid")
         self.checkpoints = CheckpointManager(self.log_dir)
 
+        # matmul precision: 'highest' (fp32, reference-faithful, default),
+        # 'high' (bf16_3x) or 'default' (bf16) for TPU-speed training
+        precision = config.get("train", {}).get("matmul_precision")
+        if precision:
+            jax.config.update("jax_default_matmul_precision", precision)
+
         self.rng = jax.random.key(config.get("seed", 0))
         self.metrics: dict[str, Any] = {
             "best_miou": 0.0, "best_loss": float("inf"), "best_epoch": -1}
