@@ -25,6 +25,7 @@ def cross_entropy(logits: jnp.ndarray, target: jnp.ndarray, *,
     :param target: (N, H, W) int labels; entries == ignore_index are excluded
     """
     c = logits.shape[-1]
+    logits = logits.astype(jnp.float32)  # bf16-activation models
     logp = jax.nn.log_softmax(logits, axis=-1)
     tgt = target.astype(jnp.int32)
     valid = tgt != ignore_index

@@ -51,7 +51,7 @@ def lovasz_softmax(logits: jnp.ndarray, target: jnp.ndarray, *,
                    classes_to_consider: str = "present",
                    per_image: bool = False) -> jnp.ndarray:
     """:param logits: (N, H, W, C); :param target: (N, H, W) int."""
-    prob = jax.nn.softmax(logits, axis=-1)
+    prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     c = prob.shape[-1]
     flat_p = prob.reshape(-1, c) if not per_image else prob.reshape(prob.shape[0], -1, c)
     flat_l = target.reshape(-1) if not per_image else target.reshape(target.shape[0], -1)

@@ -19,10 +19,27 @@ code.
 """
 from __future__ import annotations
 
+import contextvars
 from collections.abc import Callable, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
+
+# Global compute dtype for the model zoo.  Params stay float32; activations
+# and conv/matmul compute run in this dtype ('mixed precision' done the TPU
+# way — halves HBM activation traffic, the measured bottleneck for HRNet).
+_COMPUTE_DTYPE = contextvars.ContextVar("mscs_compute_dtype", default=None)
+
+
+def set_compute_dtype(dtype) -> None:
+    """None/'float32' for reference-faithful fp32; 'bfloat16' for speed."""
+    if isinstance(dtype, str):
+        dtype = None if dtype == "float32" else jnp.dtype(dtype)
+    _COMPUTE_DTYPE.set(dtype)
+
+
+def compute_dtype():
+    return _COMPUTE_DTYPE.get()
 
 
 def torch_bn_momentum(torch_momentum: float) -> float:
@@ -51,6 +68,7 @@ class Conv(nn.Module):
             kernel_dilation=(self.dilation, self.dilation),
             feature_group_count=self.groups,
             use_bias=self.use_bias,
+            dtype=compute_dtype(),
             name="conv",
         )(x)
 
@@ -66,6 +84,7 @@ class BatchNorm(nn.Module):
             use_running_average=not train,
             momentum=torch_bn_momentum(self.torch_momentum),
             epsilon=self.epsilon,
+            dtype=compute_dtype(),
             name="bn",
         )(x)
 

@@ -77,6 +77,10 @@ class Trainer:
         precision = config.get("train", {}).get("matmul_precision")
         if precision:
             jax.config.update("jax_default_matmul_precision", precision)
+        cdtype = config.get("train", {}).get("compute_dtype")
+        if cdtype:
+            from mscs_tpu.models.layers import set_compute_dtype
+            set_compute_dtype(cdtype)
 
         self.rng = jax.random.key(config.get("seed", 0))
         self.metrics: dict[str, Any] = {

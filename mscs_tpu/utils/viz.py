@@ -68,3 +68,36 @@ def save_submission_png(mask: np.ndarray, path, dataset: str,
     raw = reverse_mapping(dataset, experiment)[
         np.clip(mask, 0, num_all_classes(dataset, experiment) - 1)]
     Image.fromarray(raw.astype(np.uint8)).save(path)
+
+
+def confusion_matrix_figure(cm: np.ndarray, dataset: str, experiment: int,
+                            out_path=None, normalise: str = "col"):
+    """Render the confusion matrix as a heatmap PNG (ref utils.py:285-400,
+    logged per validation by LoggingManager :224-231)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from mscs_tpu.data.datasets_info import class_names
+
+    cm = np.asarray(cm, np.float64)
+    if normalise == "col":
+        s = cm.sum(axis=0, keepdims=True)
+    else:
+        s = cm.sum(axis=1, keepdims=True)
+    cmn = cm / np.where(s == 0, 1.0, s)
+    names = [n for n in class_names(dataset, experiment)][:cm.shape[0]]
+    fig, ax = plt.subplots(figsize=(max(6, len(names) * 0.4),) * 2)
+    im = ax.imshow(cmn, cmap="viridis", vmin=0, vmax=1)
+    ax.set_xticks(range(len(names)))
+    ax.set_yticks(range(len(names)))
+    ax.set_xticklabels(names, rotation=90, fontsize=6)
+    ax.set_yticklabels(names, fontsize=6)
+    ax.set_xlabel("target")
+    ax.set_ylabel("predicted")
+    fig.colorbar(im, fraction=0.046)
+    fig.tight_layout()
+    if out_path is not None:
+        fig.savefig(out_path, dpi=120)
+        plt.close(fig)
+        return None
+    return fig
