@@ -193,6 +193,12 @@ class SwinTransformer(nn.Module):
 
         total_depth = sum(depths)
         dpr = np.linspace(0, self.drop_path_rate, total_depth)
+        # frozen_stages (ref Swin.py:637-652): stop gradients into the patch
+        # embed (>=0) and the first k stages (>=2 freezes stages 0..k-2).
+        # NOTE: pair with zero weight decay on frozen params (opt_keys) —
+        # gradient stopping alone does not stop decoupled decay.
+        if self.frozen_stages >= 0:
+            x = jax.lax.stop_gradient(x)
         outs = []
         blk_id = 0
         for stage, depth in enumerate(depths):
@@ -208,6 +214,8 @@ class SwinTransformer(nn.Module):
                     drop_path=float(dpr[blk_id]),
                     name=f"stage{stage}_block{d}")(x, train)
                 blk_id += 1
+            if self.frozen_stages >= 2 and stage < self.frozen_stages - 1:
+                x = jax.lax.stop_gradient(x)
             if stage in self.out_indices:
                 out = nn.LayerNorm(epsilon=1e-5, name=f"norm{stage}")(x)
                 outs.append(out)

@@ -44,12 +44,17 @@ class CheckpointManager:
         cands = sorted(self.dir.glob("epoch_*"))
         return cands[-1] if cands else None
 
-    def load(self, state, which: str = "best"):
-        """:param which: 'best' | 'last' | explicit directory name."""
+    def load(self, state, which: str = "best", from_dir=None):
+        """:param which: 'best' | 'last' | explicit directory name.
+        :param from_dir: another run's chkpts dir (ref ``-cpt run_id``
+        resume, BaseManager.py:76-82)."""
+        base = pathlib.Path(from_dir) if from_dir else self.dir
         if which == "last":
-            path = self.latest() or (self.dir / "best")
+            cands = sorted(base.glob("epoch_*")) + [base / "last"]
+            cands = [c for c in cands if c.exists()]
+            path = cands[-1] if cands else base / "best"
         else:
-            path = self.dir / which
+            path = base / which
         restored = self._ckptr.restore(
             path, item=jax.device_get(_tree_state(state)))
         with open(path / "meta.json") as f:

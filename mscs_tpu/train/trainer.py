@@ -96,6 +96,20 @@ class Trainer:
         self.mesh = make_mesh(jax.devices()[:n_use])
         self._build_model_and_state()
 
+
+    def _checkpoint_dir(self, spec):
+        """Resolve ``-cpt`` values: True/None -> this run; a run-id or path ->
+        that run's chkpts directory (ref BaseManager.py:76-82)."""
+        if not isinstance(spec, str):
+            return None
+        p = pathlib.Path(spec)
+        for cand in (p, p / "chkpts",
+                     pathlib.Path(self.config.get("log_path", "logs")) / spec / "chkpts"):
+            if cand.exists():
+                return cand if cand.name == "chkpts" or any(
+                    cand.glob("best")) or any(cand.glob("epoch_*")) else cand
+        return None
+
     # ------------------------------------------------------------------ data
     def _build_data(self) -> None:
         cfg = self.config
@@ -203,7 +217,9 @@ class Trainer:
 
         if cfg.get("load_checkpoint"):
             which = "last" if cfg.get("load_last") else "best"
-            self.state, meta = self.checkpoints.load(self.state, which)
+            from_dir = self._checkpoint_dir(cfg["load_checkpoint"])
+            self.state, meta = self.checkpoints.load(self.state, which,
+                                                     from_dir=from_dir)
             self.start_epoch = meta["epoch"] + 1
             self.metrics["best_miou"] = meta.get("best_miou", 0.0)
             printlog(f"resumed from {which} checkpoint at epoch {meta['epoch']}")
@@ -337,7 +353,9 @@ class Trainer:
 
         if self.config.get("load_checkpoint"):
             which = "last" if self.config.get("load_last") else "best"
-            self.state, _ = self.checkpoints.load(self.state, which)
+            from_dir = self._checkpoint_dir(self.config["load_checkpoint"])
+            self.state, _ = self.checkpoints.load(self.state, which,
+                                                  from_dir=from_dir)
 
         state = self.state
 
@@ -395,7 +413,9 @@ class Trainer:
 
         if self.config.get("load_checkpoint"):
             which = "last" if self.config.get("load_last") else "best"
-            self.state, _ = self.checkpoints.load(self.state, which)
+            from_dir = self._checkpoint_dir(self.config["load_checkpoint"])
+            self.state, _ = self.checkpoints.load(self.state, which,
+                                                  from_dir=from_dir)
         scale = self.config.get("tsne_scale", 32) or 32
         mgr = TsneManager(self.dataset, self.experiment, scale=scale)
         state = self.state
