@@ -170,35 +170,35 @@ def convert_hrnet(sd: dict, variant: str = "hrnet48") -> dict:
 
     cbn("conv1", "bn1", "stem1")
     cbn("conv2", "bn2", "stem2")
-    _, _, nblk1, _, _ = spec["stage1"]
+    _, _, nblk1, nch1, _ = spec["stage1"]
     for b in range(nblk1[0]):
-        block(f"layer1.{b}", f"layer1_{b}", 3, b == 0)
+        block(f"layer1.{b}", f"layer1_{b}", 3, b == 0)  # only block 0 expands
 
-    prev_branches = 1
+    prev_channels = [nch1[0] * 4]
     for t, stage_key in enumerate(["stage2", "stage3", "stage4"], start=1):
         n_mod, n_br, nblk, nch, _ = spec[stage_key]
-        # transitions
+        # transitions exist exactly where the model inserts them (spec-driven,
+        # like _make_transition_layer): channel change or new branch
         for i in range(n_br):
-            if i < prev_branches:
-                if f"transition{t}.{i}.0.weight" in sd:
+            if i < len(prev_channels):
+                if prev_channels[i] != nch[i]:
                     cbn(f"transition{t}.{i}.0", f"transition{t}.{i}.1",
                         f"transition{t}_{i}")
             else:
-                for j in range(i + 1 - prev_branches):
+                for j in range(i + 1 - len(prev_channels)):
                     cbn(f"transition{t}.{i}.{j}.0", f"transition{t}.{i}.{j}.1",
                         f"transition{t}_{i}_{j}")
-        # modules
+        # modules; branch BasicBlocks never have a downsample path
         for m in range(n_mod):
             mod_p: dict = {}
             mod_b: dict = {}
-            sub_p, sub_bs = p, bs  # write into temp dicts via closure swap
             saved = (p, bs)
             p, bs = mod_p, mod_b
             base = f"{stage_key}.{m}"
             for i in range(n_br):
                 for b in range(nblk[i]):
                     block(f"{base}.branches.{i}.{b}", f"branch{i}_block{b}",
-                          2, f"{base}.branches.{i}.{b}.downsample.0.weight" in sd)
+                          2, False)
             for i in range(n_br):
                 for j in range(n_br):
                     if j > i:
@@ -212,7 +212,7 @@ def convert_hrnet(sd: dict, variant: str = "hrnet48") -> dict:
             p, bs = saved
             p[f"{stage_key}_module{m}"] = mod_p
             bs[f"{stage_key}_module{m}"] = mod_b
-        prev_branches = n_br
+        prev_channels = list(nch)
     return {"params": p, "batch_stats": bs}
 
 
