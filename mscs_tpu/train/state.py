@@ -99,7 +99,8 @@ def make_train_step(loss_wrapper: LossWrapper, num_classes: int,
             total, loss_vals = loss_wrapper(
                 jax.random.fold_in(rng, 2), logits, batch["label"],
                 deep_features=feats, interm_prediction=interm, epoch=epoch)
-            return total, (loss_vals, logits, updates["batch_stats"])
+            new_bs = updates.get("batch_stats", state.batch_stats)
+            return total, (loss_vals, logits, new_bs)
 
         (loss, (loss_vals, logits, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)

@@ -257,12 +257,14 @@ class Trainer:
                 else:
                     accum[k] = accum.get(k, 0.0) + float(jax.device_get(v))
             seen += 1
+            if i == 0:
+                t0 = time.time()  # exclude the compile step from throughput
         dt = time.time() - t0
         scalars = {k: v / max(seen, 1) for k, v in accum.items()}
         scalars["lr"] = float(self.lr_schedule(
             int(jax.device_get(self.state.step)) - 1 if self.lr_batchwise
             else epoch))
-        scalars["images_per_sec"] = seen * self.batch_size / max(dt, 1e-9)
+        scalars["images_per_sec"] = max(seen - 1, 1) * self.batch_size / max(dt, 1e-9)
         miou = mean_iou(jnp.asarray(cm), self.dataset, self.experiment)
         scalars["train_miou"] = miou["mean_iou"]
         self.train_writer.add_scalars(int(jax.device_get(self.state.step)),
