@@ -125,13 +125,31 @@ class HRModule(nn.Module):
 
 
 class HighResolutionNet(nn.Module):
-    """HRNetV2 backbone. Returns (concat_1/4, [s4, s8, s16, s32])."""
+    """HRNetV2 backbone. Returns (concat_1/4, [s4, s8, s16, s32]).
+
+    ``channel_pad``: round branch widths up to this multiple (e.g. 64). TPU
+    lane-occupancy optimization — zero-initialised padded channels stay
+    exactly zero through training (zero weights in, zero gradients back), so
+    the math is identical to the unpadded network while the 48/96-channel
+    convs run 2-3.5x faster on the MXU (see PERF.md).
+    """
     variant: str = "hrnet48"
     align_corners: bool = False
+    channel_pad: int = 0
+
+    def _ch(self, c: int) -> int:
+        if self.channel_pad <= 0:
+            return c
+        p = self.channel_pad
+        return (c + p - 1) // p * p
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
-        spec = HRNET_STAGE_SPECS[self.variant]
+        raw_spec = HRNET_STAGE_SPECS[self.variant]
+        spec = {
+            k: (v[0], v[1], v[2], [self._ch(c) for c in v[3]], v[4])
+            for k, v in raw_spec.items()
+        }
         # stem: two stride-2 3x3s -> 1/4
         x = ConvBN(64, 3, 2, relu=True, name="stem1")(x, train)
         x = ConvBN(64, 3, 2, relu=True, name="stem2")(x, train)
@@ -197,7 +215,8 @@ class HRNet(nn.Module):
         in_hw = x.shape[1:3]
 
         concat, scales = HighResolutionNet(
-            variant, align_corners, name="backbone")(x, train)
+            variant, align_corners,
+            channel_pad=cfg.get("channel_pad", 0), name="backbone")(x, train)
 
         # cls head: 3x3 conv (bias) + BN + 1x1 conv (no bias)
         h = Conv(concat.shape[-1], 3, 1, name="cls_conv1")(concat)

@@ -105,7 +105,8 @@ class OCRNet(nn.Module):
 
         if is_hrnet:
             concat, scales = HighResolutionNet(
-                backbone_name, align_corners, name="backbone")(x, train)
+                backbone_name, align_corners,
+                channel_pad=cfg.get("channel_pad", 0), name="backbone")(x, train)
             high_feats = concat
             interm_in = concat
         else:

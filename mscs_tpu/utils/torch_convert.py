@@ -275,3 +275,67 @@ def convert_swin(sd: dict, variant: str = "swinT") -> dict:
             p[f"norm{s}"] = {}
             convert_ln(sd, f"norm{s}", p[f"norm{s}"])
     return {"params": p}
+
+
+def pad_variables(src: dict, template: dict) -> dict:
+    """Embed an unpadded variable tree into a channel-padded template
+    (zero-fill the extra channels).  Lets unpadded ImageNet checkpoints load
+    into `channel_pad`ded HRNets; padded channels stay exactly zero through
+    training, so the padded model computes the identical function (PERF.md).
+    """
+    import jax
+
+    def embed(a, t):
+        a = np.asarray(a)
+        t_shape = np.shape(t)
+        if a.shape == tuple(t_shape):
+            return a
+        out = np.zeros(t_shape, a.dtype)
+        out[tuple(slice(0, s) for s in a.shape)] = a
+        return out
+
+    return jax.tree_util.tree_map(embed, src, template,
+                                  is_leaf=lambda x: not isinstance(x, dict))
+
+
+def pad_hrnet_variables(src: dict, template: dict, variant: str = "hrnet48",
+                        channel_pad: int = 64) -> dict:
+    """pad_variables for the HRNet seg model: convs that consume the 4-branch
+    CONCAT (cls head / OCR heads) need their input channels scattered to the
+    padded branch offsets, not zero-filled contiguously."""
+    import jax
+    from mscs_tpu.models.hrnet import HRNET_STAGE_SPECS
+
+    out = {c: pad_variables(src[c], template[c]) for c in template}
+
+    widths = HRNET_STAGE_SPECS[variant]["stage4"][3]
+    p = channel_pad
+    padded = [(w + p - 1) // p * p for w in widths]
+    src_off = np.cumsum([0] + widths)[:-1]
+    dst_off = np.cumsum([0] + padded)[:-1]
+
+    def scatter_concat_in(kernel_src, kernel_tmpl):
+        k = np.zeros(np.shape(kernel_tmpl), np.asarray(kernel_src).dtype)
+        ks = np.asarray(kernel_src)
+        for w, so, do in zip(widths, src_off, dst_off):
+            # input-channel axis is -2 for conv kernels
+            k[..., do:do + w, :ks.shape[-1]] = ks[..., so:so + w, :]
+        return k
+
+    for name in ("cls_conv1", "conv_high_map", "interm_cbr"):
+        if name in out["params"]:
+            node = out["params"][name]
+            conv = node.get("conv", node)
+            if "conv" in conv:
+                conv = conv["conv"]
+            tmpl_node = template["params"][name]
+            tconv = tmpl_node.get("conv", tmpl_node)
+            if "conv" in tconv:
+                tconv = tconv["conv"]
+            sconv = src["params"][name]
+            sconv = sconv.get("conv", sconv)
+            if "conv" in sconv:
+                sconv = sconv["conv"]
+            conv["kernel"] = scatter_concat_in(sconv["kernel"],
+                                               tconv["kernel"])
+    return out
