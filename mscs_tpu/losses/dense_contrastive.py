@@ -27,6 +27,10 @@ import jax.numpy as jnp
 
 from mscs_tpu.data.datasets_info import ignore_class, num_all_classes
 from mscs_tpu.ops.infonce import masked_infonce, masked_infonce_cross
+from mscs_tpu.ops.pallas_infonce import (
+    masked_infonce_cross_pallas,
+    masked_infonce_pallas,
+)
 from mscs_tpu.ops.resize import downsample_labels_nearest
 from mscs_tpu.ops.sampling import AnchorSample, sample_anchors
 
@@ -42,6 +46,7 @@ class DenseContrastiveLossV2:
     max_features_total: int = 10000
     cross_scale_contrast: bool = False
     label_scaling_mode: str = "nn"
+    infonce_impl: str = "xla"  # 'xla' (streamed scan) | 'pallas' (fused kernel)
 
     @classmethod
     def from_config(cls, config: dict[str, Any]) -> "DenseContrastiveLossV2":
@@ -54,7 +59,13 @@ class DenseContrastiveLossV2:
             max_features_total=config.get("max_features_total", 10000),
             cross_scale_contrast=config.get("cross_scale_contrast", False),
             label_scaling_mode=config.get("label_scaling_mode", "nn"),
+            infonce_impl=config.get("infonce_impl", "xla"),
         )
+
+    @property
+    def _infonce(self):
+        return (masked_infonce_pallas if self.infonce_impl == "pallas"
+                else masked_infonce)
 
     @property
     def num_classes(self) -> int:
@@ -83,8 +94,8 @@ class DenseContrastiveLossV2:
     def __call__(self, rng: jax.Array, label: jnp.ndarray,
                  features: jnp.ndarray):
         anchors = self.sample(rng, label, features)
-        loss = masked_infonce(anchors.features, anchors.labels, anchors.valid,
-                              temperature=self.temperature)
+        loss = self._infonce(anchors.features, anchors.labels, anchors.valid,
+                             temperature=self.temperature)
         if self.cross_scale_contrast:
             return loss, anchors
         return loss
@@ -141,9 +152,9 @@ class DenseContrastiveLossV2_ms:
         anchor_sets: list[AnchorSample] = []
         for s in range(self.scales):
             anchors = self.scale_loss.sample(keys[s], label, features[s])
-            loss_s = masked_infonce(anchors.features, anchors.labels,
-                                    anchors.valid,
-                                    temperature=self.scale_loss.temperature)
+            loss_s = self.scale_loss._infonce(
+                anchors.features, anchors.labels, anchors.valid,
+                temperature=self.scale_loss.temperature)
             loss = loss + self.weights[s] * loss_s
             ms_losses.append(jax.lax.stop_gradient(loss_s))
             anchor_sets.append(anchors)
@@ -151,10 +162,14 @@ class DenseContrastiveLossV2_ms:
         if self.cross_scale_contrast:
             high = anchor_sets[0]
 
+            cross_fn = (masked_infonce_cross_pallas
+                        if self.scale_loss.infonce_impl == "pallas"
+                        else masked_infonce_cross)
+
             def cs(deep: AnchorSample) -> jnp.ndarray:
                 deep_f = (jax.lax.stop_gradient(deep.features)
                           if self.detach_cs_deepest else deep.features)
-                return masked_infonce_cross(
+                return cross_fn(
                     high.features, high.labels, high.valid,
                     deep_f, deep.labels, deep.valid,
                     temperature=self.cross_scale_temperature)

@@ -70,12 +70,11 @@ def _row_block_loss(fa_blk, la_blk, va_blk, ia_blk,
     neg_sum = jnp.sum(ez * negf, axis=1, keepdims=True)
     log_prob = z - jnp.log(ez + neg_sum)
     p = jnp.sum(posf, axis=1)
-    if guard_zero_pos:
-        denom = jnp.where(p > 0, p, 1.0)          # cross-scale guard (ref :148-152)
-    else:
-        # reference divides by P unguarded; valid self-contrast rows always
-        # have P = V-1 >= 1 in shipped configs. Guard only masked rows.
-        denom = jnp.where(p > 0, p, 1.0)
+    # cross-scale guard (ref :148-152); for self-contrast the reference
+    # divides by P unguarded but valid rows always have P = V-1 >= 1 in
+    # shipped configs, so the guard only ever fires on masked rows.
+    del guard_zero_pos
+    denom = jnp.where(p > 0, p, 1.0)
     row_val = jnp.sum(posf * log_prob, axis=1) / denom
     return jnp.sum(jnp.where(va_blk, row_val, 0.0))
 
