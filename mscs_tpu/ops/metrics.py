@@ -34,10 +34,13 @@ def confusion_matrix(prediction: jnp.ndarray, target: jnp.ndarray,
     pred = pred.reshape(-1).astype(jnp.int32)
     tgt = target.reshape(-1).astype(jnp.int32)
     valid = (tgt >= 0) & (tgt < num_classes)
-    idx = pred * num_classes + jnp.where(valid, tgt, 0)
-    cm = jnp.zeros((num_classes * num_classes,), dtype=jnp.int32)
-    cm = cm.at[idx].add(valid.astype(jnp.int32))
-    cm = cm.reshape(num_classes, num_classes)
+    # one-hot matmul like the reference (torch_utils.py:180) — the scatter-add
+    # formulation costs ~24 ms/step on TPU for 1M pixels; this runs on the MXU
+    pred_1h = jax.nn.one_hot(pred, num_classes, dtype=jnp.float32)
+    tgt_1h = jax.nn.one_hot(jnp.where(valid, tgt, -1), num_classes,
+                            dtype=jnp.float32)  # -1 -> all-zero row
+    cm = jnp.dot(pred_1h.T, tgt_1h,
+                 preferred_element_type=jnp.float32).astype(jnp.int32)
     if existing is not None:
         cm = cm + existing
     return cm

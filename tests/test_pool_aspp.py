@@ -87,3 +87,29 @@ def test_aspp_matches_torch_oracle(rng_np):
     got = jm.apply({"params": p, "batch_stats": bs}, xj, train=False)
     np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_point_sample_matches_torch_grid_sample(rng_np):
+    import torch.nn.functional as F
+    from mscs_tpu.utils.extras import point_sample
+    n, h, w, c, p = 2, 9, 13, 4, 17
+    feats = rng_np.standard_normal((n, h, w, c)).astype(np.float32)
+    pts = rng_np.uniform(0, 1, (n, p, 2)).astype(np.float32)
+    for align in (True, False):
+        want = F.grid_sample(
+            torch.from_numpy(feats.transpose(0, 3, 1, 2)),
+            torch.from_numpy(2.0 * pts - 1.0).unsqueeze(2),
+            mode="bilinear", align_corners=align).squeeze(-1).numpy()
+        got = np.asarray(point_sample(jnp.asarray(feats), jnp.asarray(pts),
+                                      align_corners=align))
+        np.testing.assert_allclose(got.transpose(0, 2, 1), want,
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_balanced_concat_dataset():
+    from mscs_tpu.utils.extras import BalancedConcatDataset
+    a = list(range(10))
+    b = list(range(100, 103))
+    ds = BalancedConcatDataset(a, b)
+    assert len(ds) == 20
+    assert ds[0] == 0 and ds[10] == 100 and ds[13] == 100  # b wraps
