@@ -26,6 +26,9 @@ import os
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 import jax.numpy as jnp
 import numpy as np
 

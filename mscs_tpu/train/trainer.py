@@ -81,6 +81,12 @@ class Trainer:
         if cdtype:
             from mscs_tpu.models.layers import set_compute_dtype
             set_compute_dtype(cdtype)
+        # persistent XLA compile cache: HRNet-class programs take minutes to
+        # compile; cache across processes unless explicitly disabled
+        cache_dir = config.get("compilation_cache_dir", "/tmp/jax_compile_cache")
+        if cache_dir:
+            jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
         self.rng = jax.random.key(config.get("seed", 0))
         self.metrics: dict[str, Any] = {
