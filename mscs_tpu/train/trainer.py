@@ -376,7 +376,8 @@ class Trainer:
             return logits
 
         use_tta = self.config.get("tta", False)
-        tta = build_tta(jax.jit(apply_fn), self.config, self.num_classes) \
+        apply_jit = jax.jit(apply_fn)
+        tta = build_tta(apply_jit, self.config, self.num_classes) \
             if use_tta else None
         cm = np.zeros((self.num_classes, self.num_classes), np.int64)
         limit = (10 if self.debugging else len(self.valid_loader))
@@ -388,7 +389,7 @@ class Trainer:
             if i >= limit:
                 break
             img = jnp.asarray(batch["image"])
-            logits = tta(img) if tta else jax.jit(apply_fn)(img)
+            logits = tta(img) if tta else apply_jit(img)
             logits = np.asarray(jax.device_get(logits))
             meta = (batch["metadata"][0] if batch.get("metadata") else None)
             logits, label = self.post_process_output(
