@@ -243,7 +243,9 @@ class Trainer:
         seen = 0
         profile_steps = self.config.get("profile_steps", 0)
         t0 = time.time()
-        for i, batch in enumerate(loader):
+        from mscs_tpu.data.loader import device_prefetch
+        prefetched = device_prefetch(loader, self.mesh, size=2)
+        for i, device_batch in enumerate(prefetched):
             if i >= limit:
                 break
             if epoch == self.start_epoch and profile_steps:
@@ -253,8 +255,7 @@ class Trainer:
                     jax.profiler.start_trace(str(self.log_dir / "profile"))
                 if i == 1 + profile_steps:
                     jax.profiler.stop_trace()
-            device_batch = shard_batch(self.mesh, {
-                "image": batch["image"], "label": batch["label"]})
+            device_batch.pop("metadata", None)
             self.state, logs = self.train_step(
                 self.state, device_batch, self.rng, epoch)
             for k, v in logs.items():
