@@ -76,9 +76,14 @@ def main() -> None:
         initialize_distributed(args.coordinator, args.num_processes,
                                args.process_id)
 
+    mode = config.get("mode", "training")
+    valid_modes = ("training", "inference", "submission_inference",
+                   "demo_tsne", "diagnostics")
+    if mode not in valid_modes:
+        raise SystemExit(f"mode '{mode}' not supported (choose from {valid_modes})")
+
     from mscs_tpu.train.trainer import Trainer
     trainer = Trainer(config)
-    mode = config.get("mode", "training")
     if mode == "training":
         metrics = trainer.train()
         printlog(f"training done: {metrics}")

@@ -55,6 +55,11 @@ class CheckpointManager:
             path = cands[-1] if cands else base / "best"
         else:
             path = base / which
+        if not path.exists() or not any(path.iterdir()):
+            raise FileNotFoundError(
+                f"no '{which}' checkpoint under {base} — pass -cpt with the "
+                f"run id of a TRAINING run (its chkpts/ dir must contain "
+                f"'best' or 'epoch_*'/'last')")
         restored = self._ckptr.restore(
             path, item=jax.device_get(_tree_state(state)))
         with open(path / "meta.json") as f:
