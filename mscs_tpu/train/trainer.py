@@ -108,6 +108,15 @@ class Trainer:
         that run's chkpts directory (ref BaseManager.py:76-82)."""
         if not isinstance(spec, str):
             return None
+        resolved = self._checkpoint_dir_impl(spec)
+        if resolved is None:
+            raise FileNotFoundError(
+                f"checkpoint spec '{spec}' does not resolve to a run: looked "
+                f"for <spec>, <spec>/chkpts and "
+                f"{self.config.get('log_path', 'logs')}/<spec>/chkpts")
+        return resolved
+
+    def _checkpoint_dir_impl(self, spec):
         p = pathlib.Path(spec)
         for cand in (p, p / "chkpts",
                      pathlib.Path(self.config.get("log_path", "logs")) / spec / "chkpts"):
