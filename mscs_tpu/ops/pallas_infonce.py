@@ -275,21 +275,21 @@ def _bwd_call(fa, la, va, ia, fb, lb, vb, ib, g, ns, s, p,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def _infonce_rows(fa, la, va, ia, fb, lb, vb, ib, inv_temp, exclude_self):
-    l_row, _, _, _ = _fwd_call(fa, la, va, ia, fb, lb, vb, ib,
-                               inv_temp=inv_temp, exclude_self=exclude_self)
+    l_row, _, _, _ = _fwd_call_v2(fa, la, va, ia, fb, lb, vb, ib,
+                                  inv_temp=inv_temp, exclude_self=exclude_self)
     return l_row
 
 
 def _infonce_rows_fwd(fa, la, va, ia, fb, lb, vb, ib, inv_temp, exclude_self):
-    l_row, ns, s, p = _fwd_call(fa, la, va, ia, fb, lb, vb, ib,
-                                inv_temp=inv_temp, exclude_self=exclude_self)
+    l_row, ns, s, p = _fwd_call_v2(fa, la, va, ia, fb, lb, vb, ib,
+                                   inv_temp=inv_temp, exclude_self=exclude_self)
     return l_row, (fa, la, va, ia, fb, lb, vb, ib, ns, s, p)
 
 
 def _infonce_rows_bwd(inv_temp, exclude_self, res, g):
     fa, la, va, ia, fb, lb, vb, ib, ns, s, p = res
-    dfa, dfb = _bwd_call(fa, la, va, ia, fb, lb, vb, ib, g, ns, s, p,
-                         inv_temp=inv_temp, exclude_self=exclude_self)
+    dfa, dfb = _bwd_call_v2(fa, la, va, ia, fb, lb, vb, ib, g, ns, s, p,
+                            inv_temp=inv_temp, exclude_self=exclude_self)
     return (dfa, None, None, None, dfb, None, None, None)
 
 
@@ -346,3 +346,199 @@ def masked_infonce_cross_pallas(features_a, labels_a, valid_a,
     return _masked_infonce_pallas(features_a, labels_a, valid_a,
                                   features_b, labels_b, valid_b,
                                   temperature=temperature, exclude_self=False)
+
+
+# ===========================================================================
+# v2 kernels: column-set resident in VMEM (loaded once), fori column chunks.
+# The v1 grid reloads the full column set from HBM once per (row tile, phase)
+# — 2 * R * M * C traffic; v2 loads it once and streams only row tiles.
+# ===========================================================================
+
+_CHUNK = 2048  # max column chunk per inner iteration (TILE x chunk logits)
+
+
+def _pick_chunk_v2(m: int) -> int:
+    for c in (_CHUNK, 1024, 512, 256):
+        if m % c == 0:
+            return c
+    return m
+
+
+def _fwd_kernel_v2(fa_ref, la_ref, va_ref, ia_ref,
+                   fb_ref, lb_ref, vb_ref, ib_ref,
+                   out_l_ref, out_ns_ref, out_s_ref, out_p_ref,
+                   *, inv_temp: float, exclude_self: bool, m_b: int,
+                   chunk: int):
+    n_chunks = m_b // chunk
+    fa = fa_ref[:]
+    la, va, ia = la_ref[:], va_ref[:], ia_ref[:]
+
+    def z_masks(c):
+        off = c * chunk
+        fb = fb_ref[pl.ds(off, chunk), :]
+        z = jax.lax.dot_general(fa, fb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * inv_temp
+        pos, neg = _masks(la, va, ia,
+                          lb_ref[pl.ds(off, chunk), :],
+                          vb_ref[pl.ds(off, chunk), :],
+                          ib_ref[pl.ds(off, chunk), :], exclude_self)
+        return z, pos, neg
+
+    def pass_a(c, carry):
+        ns, p = carry
+        z, pos, neg = z_masks(c)
+        ns = ns + jnp.sum(jnp.exp(z) * neg, axis=1, keepdims=True)
+        p = p + jnp.sum(pos, axis=1, keepdims=True)
+        return ns, p
+
+    zero = jnp.zeros((fa.shape[0], 1), jnp.float32)
+    ns, p = jax.lax.fori_loop(0, n_chunks, pass_a, (zero, zero))
+
+    def pass_b(c, carry):
+        num, s = carry
+        z, pos, _ = z_masks(c)
+        denom = jnp.exp(z) + ns
+        num = num + jnp.sum(pos * (z - jnp.log(denom)), axis=1, keepdims=True)
+        s = s + jnp.sum(pos / denom, axis=1, keepdims=True)
+        return num, s
+
+    num, s = jax.lax.fori_loop(0, n_chunks, pass_b, (zero, zero))
+    out_l_ref[:] = num / jnp.maximum(p, 1.0)
+    out_ns_ref[:] = ns
+    out_s_ref[:] = s
+    out_p_ref[:] = p
+
+
+def _resident_spec():
+    return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+
+def _fwd_call_v2(fa, la, va, ia, fb, lb, vb, ib, *, inv_temp, exclude_self):
+    m_a, c_dim = fa.shape
+    m_b = fb.shape[0]
+    rows = m_a // TILE
+
+    def col(x):
+        return x.reshape(-1, 1).astype(jnp.int32)
+
+    row_spec = pl.BlockSpec((TILE, 1), lambda r: (r, 0),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel_v2, inv_temp=inv_temp,
+                          exclude_self=exclude_self, m_b=m_b,
+                          chunk=_pick_chunk_v2(m_b)),
+        grid=(rows,),
+        in_specs=[
+            pl.BlockSpec((TILE, c_dim), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec, row_spec, row_spec,
+            _resident_spec(), _resident_spec(), _resident_spec(),
+            _resident_spec(),
+        ],
+        out_specs=[row_spec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((m_a, 1), jnp.float32)] * 4,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * m_a * m_b * c_dim,
+            bytes_accessed=(m_a * 2 + m_b) * c_dim * 4,
+            transcendentals=2 * m_a * m_b),
+        interpret=_interpret(),
+    )(fa, col(la), col(va), col(ia), fb, col(lb), col(vb), col(ib))
+    l_row, ns, s, p = outs
+    return l_row[:, 0], ns, s, p
+
+
+def _bwd_da_kernel_v2(fa_ref, la_ref, va_ref, ia_ref,
+                      fb_ref, lb_ref, vb_ref, ib_ref,
+                      g_ref, ns_ref, s_ref, p_ref, out_ref,
+                      *, inv_temp, exclude_self, m_b, chunk):
+    n_chunks = m_b // chunk
+    fa = fa_ref[:]
+    la, va, ia = la_ref[:], va_ref[:], ia_ref[:]
+    g, ns, s, p = g_ref[:], ns_ref[:], s_ref[:], p_ref[:]
+
+    def body(c, acc):
+        off = c * chunk
+        fb = fb_ref[pl.ds(off, chunk), :]
+        dz = _dz_tile(fa, fb, la, va, ia,
+                      lb_ref[pl.ds(off, chunk), :],
+                      vb_ref[pl.ds(off, chunk), :],
+                      ib_ref[pl.ds(off, chunk), :],
+                      g, ns, s, p, inv_temp=inv_temp,
+                      exclude_self=exclude_self)
+        return acc + jnp.dot(dz, fb, preferred_element_type=jnp.float32)
+
+    out_ref[:] = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros(fa.shape, jnp.float32))
+
+
+def _bwd_db_kernel_v2(fb_ref, lb_ref, vb_ref, ib_ref,
+                      fa_ref, la_ref, va_ref, ia_ref,
+                      g_ref, ns_ref, s_ref, p_ref, out_ref,
+                      *, inv_temp, exclude_self, m_a, chunk):
+    n_chunks = m_a // chunk
+    fb = fb_ref[:]
+    lb, vb, ib = lb_ref[:], vb_ref[:], ib_ref[:]
+
+    def body(r, acc):
+        off = r * chunk
+        fa = fa_ref[pl.ds(off, chunk), :]
+        dz = _dz_tile(fa, fb,
+                      la_ref[pl.ds(off, chunk), :],
+                      va_ref[pl.ds(off, chunk), :],
+                      ia_ref[pl.ds(off, chunk), :],
+                      lb, vb, ib,
+                      g_ref[pl.ds(off, chunk), :],
+                      ns_ref[pl.ds(off, chunk), :],
+                      s_ref[pl.ds(off, chunk), :],
+                      p_ref[pl.ds(off, chunk), :],
+                      inv_temp=inv_temp, exclude_self=exclude_self)
+        return acc + jax.lax.dot_general(
+            dz, fa, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    out_ref[:] = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros(fb.shape, jnp.float32))
+
+
+def _bwd_call_v2(fa, la, va, ia, fb, lb, vb, ib, g, ns, s, p,
+                 *, inv_temp, exclude_self):
+    m_a, c_dim = fa.shape
+    m_b = fb.shape[0]
+
+    def col(x, dt=jnp.int32):
+        return x.reshape(-1, 1).astype(dt)
+
+    la2, va2, ia2 = col(la), col(va), col(ia)
+    lb2, vb2, ib2 = col(lb), col(vb), col(ib)
+    g2 = g.reshape(-1, 1).astype(jnp.float32)
+    row = pl.BlockSpec((TILE, 1), lambda r: (r, 0), memory_space=pltpu.VMEM)
+    res = _resident_spec()
+
+    dfa = pl.pallas_call(
+        functools.partial(_bwd_da_kernel_v2, inv_temp=inv_temp,
+                          exclude_self=exclude_self, m_b=m_b,
+                          chunk=_pick_chunk_v2(m_b)),
+        grid=(m_a // TILE,),
+        in_specs=[pl.BlockSpec((TILE, c_dim), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM),
+                  row, row, row, res, res, res, res, row, row, row, row],
+        out_specs=pl.BlockSpec((TILE, c_dim), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_a, c_dim), jnp.float32),
+        interpret=_interpret(),
+    )(fa, la2, va2, ia2, fb, lb2, vb2, ib2, g2, ns, s, p)
+
+    dfb = pl.pallas_call(
+        functools.partial(_bwd_db_kernel_v2, inv_temp=inv_temp,
+                          exclude_self=exclude_self, m_a=m_a,
+                          chunk=_pick_chunk_v2(m_a)),
+        grid=(m_b // TILE,),
+        in_specs=[pl.BlockSpec((TILE, c_dim), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM),
+                  row, row, row, res, res, res, res, res, res, res, res],
+        out_specs=pl.BlockSpec((TILE, c_dim), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_b, c_dim), jnp.float32),
+        interpret=_interpret(),
+    )(fb, lb2, vb2, ib2, fa, la2, va2, ia2, g2, ns, s, p)
+    return dfa, dfb
