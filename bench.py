@@ -27,7 +27,9 @@ import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+# per-platform cache dir: CPU AOT artifacts are machine-feature-sensitive
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/jax_compile_cache_{jax.default_backend()}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 import jax.numpy as jnp
 import numpy as np

@@ -83,7 +83,9 @@ class Trainer:
             set_compute_dtype(cdtype)
         # persistent XLA compile cache: HRNet-class programs take minutes to
         # compile; cache across processes unless explicitly disabled
-        cache_dir = config.get("compilation_cache_dir", "/tmp/jax_compile_cache")
+        cache_dir = config.get(
+            "compilation_cache_dir",
+            f"/tmp/jax_compile_cache_{jax.default_backend()}")
         if cache_dir:
             jax.config.update("jax_compilation_cache_dir", str(cache_dir))
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
