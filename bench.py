@@ -31,7 +31,6 @@ import jax
 jax.config.update("jax_compilation_cache_dir",
                   f"/tmp/jax_compile_cache_{jax.default_backend()}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-import jax.numpy as jnp
 import numpy as np
 
 A100_BASELINE_IMG_PER_SEC_PER_CHIP = 16.0  # at 512x512; see docstring

@@ -10,8 +10,6 @@ sharding.
 from __future__ import annotations
 
 import collections
-import queue
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Iterator
 

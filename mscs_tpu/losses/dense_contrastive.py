@@ -25,7 +25,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from mscs_tpu.data.datasets_info import ignore_class, num_all_classes
+from mscs_tpu.data.datasets_info import num_all_classes
 from mscs_tpu.ops.infonce import masked_infonce, masked_infonce_cross
 from mscs_tpu.ops.pallas_infonce import (
     masked_infonce_cross_pallas,

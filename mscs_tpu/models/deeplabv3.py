@@ -12,7 +12,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mscs_tpu.data.datasets_info import num_real_classes
-from mscs_tpu.models.layers import BatchNorm, Conv, ConvBN
+from mscs_tpu.models.layers import BatchNorm, Conv
 from mscs_tpu.models.projector import Projector
 from mscs_tpu.models.resnet import ResNet
 from mscs_tpu.ops.resize import resize_bilinear

@@ -20,7 +20,6 @@ code.
 from __future__ import annotations
 
 import contextvars
-from collections.abc import Callable, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -8,7 +8,7 @@ builds one stack per feature scale and maps list -> list.
 """
 from __future__ import annotations
 
-from typing import Any, Sequence, Union
+from typing import Any, Union
 
 import jax.numpy as jnp
 from flax import linen as nn

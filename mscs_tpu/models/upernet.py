@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mscs_tpu.data.datasets_info import num_real_classes
-from mscs_tpu.models.layers import BatchNorm, Conv, ConvBN
+from mscs_tpu.models.layers import Conv, ConvBN
 from mscs_tpu.models.projector import Projector
 from mscs_tpu.models.resnet import ResNet
 from mscs_tpu.models.swin import SwinTransformer

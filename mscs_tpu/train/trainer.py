@@ -39,7 +39,7 @@ from mscs_tpu.losses import LossWrapper
 from mscs_tpu.models import build_model
 from mscs_tpu.ops.metrics import mean_iou, pixel_accuracy
 from mscs_tpu.ops.resize import resize_bilinear
-from mscs_tpu.parallel import make_mesh, replicate, shard_batch
+from mscs_tpu.parallel import make_mesh, replicate
 from mscs_tpu.train.checkpoint import CheckpointManager
 from mscs_tpu.train.optim import build_optimizer
 from mscs_tpu.train.schedules import convert_restarts_to_steps, make_lr_schedule

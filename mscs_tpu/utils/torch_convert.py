@@ -16,7 +16,7 @@ missing/extra key is a hard error (mirrors load_state_dict(strict)).
 """
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import numpy as np
 
