@@ -80,8 +80,13 @@ class SlidingWindowTTA:
                  size_mode: str = "long",  # 'long' (CTS/Slide) | 'min' (PC)
                  align_corners: bool = True,
                  pad_value: np.ndarray | float = 0.0,
-                 crop_chunk: int = 8):
+                 crop_chunk: int = 8,
+                 mesh=None):
+        """``mesh``: optional data mesh — sliding-window crop batches are
+        sharded over its devices, so full-res TTA scales with chip count
+        (the reference runs crops one by one on a single GPU)."""
         self.apply_fn = apply_fn
+        self.mesh = mesh
         self.num_classes = num_classes
         self.scales = list(scales or [])
         if 1.0 not in self.scales:
@@ -124,10 +129,22 @@ class SlidingWindowTTA:
         crops = jnp.concatenate(
             [jax.lax.dynamic_slice(img, (0, h0, w0, 0), (1, ch, cw, 3))
              for h0, w0 in origins], axis=0)
-        preds = []
-        for i in range(0, len(origins), self.crop_chunk):
-            preds.append(self._infer(crops[i:i + self.crop_chunk]))
-        preds = jnp.concatenate(preds, axis=0)
+        if self.mesh is not None and np.prod(self.mesh.devices.shape) > 1:
+            # shard the crop batch over the data mesh (pad to divisibility)
+            from mscs_tpu.parallel.mesh import batch_sharding
+            n_dev = int(np.prod(self.mesh.devices.shape))
+            n = crops.shape[0]
+            pad = (-n) % n_dev
+            if pad:
+                crops = jnp.concatenate(
+                    [crops, jnp.zeros((pad, ch, cw, 3), crops.dtype)], axis=0)
+            crops = jax.device_put(crops, batch_sharding(self.mesh))
+            preds = self._infer(crops)[:n]
+        else:
+            preds = []
+            for i in range(0, len(origins), self.crop_chunk):
+                preds.append(self._infer(crops[i:i + self.crop_chunk]))
+            preds = jnp.concatenate(preds, axis=0)
         out = jnp.zeros((1, h, w, self.num_classes), jnp.float32)
         count = jnp.zeros((1, h, w, 1), jnp.float32)
         ones = jnp.ones((1, ch, cw, 1), jnp.float32)
@@ -171,7 +188,7 @@ class SlidingWindowTTA:
         return final
 
 
-def build_tta(apply_fn, config: dict, num_classes: int):
+def build_tta(apply_fn, config: dict, num_classes: int, mesh=None):
     """Dataset-dispatched TTA construction (ref BaseManager.py:620-634)."""
     dataset = config["data"]["dataset"]
     scales = config.get("tta_scales", [0.75, 1.25, 1.5, 1.75, 2.0])
@@ -184,16 +201,16 @@ def build_tta(apply_fn, config: dict, num_classes: int):
             "crop_shape", [512, 1024])
         return SlidingWindowTTA(apply_fn, num_classes, scales,
                                 crop_size=crop, base_size=base or 2048,
-                                size_mode="long", align_corners=align)
+                                size_mode="long", align_corners=align, mesh=mesh)
     if dataset == "ADE20K":
         return SlidingWindowTTA(apply_fn, num_classes, scales,
                                 crop_size=[512, 512],
                                 strides=[341, 341], base_size=base or 2048,
-                                size_mode="long", align_corners=align)
+                                size_mode="long", align_corners=align, mesh=mesh)
     if dataset == "PASCALC":
         return SlidingWindowTTA(apply_fn, num_classes, scales,
                                 crop_size=[512, 512], base_size=base or 520,
                                 size_mode="min", align_corners=align,
                                 strides=[int(512 * 2 / 3)] * 2,
-                                pad_value=-mean / std)
+                                pad_value=-mean / std, mesh=mesh)
     return TTAWrapper(apply_fn, num_classes, scales, align_corners=align)

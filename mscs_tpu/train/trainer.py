@@ -389,7 +389,8 @@ class Trainer:
 
         use_tta = self.config.get("tta", False)
         apply_jit = jax.jit(apply_fn)
-        tta = build_tta(apply_jit, self.config, self.num_classes) \
+        tta = build_tta(apply_jit, self.config, self.num_classes,
+                        mesh=self.mesh) \
             if use_tta else None
         cm = np.zeros((self.num_classes, self.num_classes), np.int64)
         limit = (10 if self.debugging else len(self.valid_loader))

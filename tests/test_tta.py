@@ -62,3 +62,17 @@ def test_multi_scale_accumulation_shape(rng_np):
     assert out.shape == (1, 48, 64, c)
     assert np.isfinite(np.asarray(out)).all()
     assert (np.asarray(out) > 0).all()  # sum of exp() terms
+
+
+def test_sliding_window_sharded_matches_unsharded(rng_np):
+    """Crop batches sharded over the 8-device mesh give identical results."""
+    import jax
+    from mscs_tpu.parallel import make_mesh
+    c = 4
+    x = jnp.asarray(rng_np.standard_normal((1, 64, 64, 3)), jnp.float32)
+    kw = dict(scales=[1.0], flip=True, crop_size=(32, 32), strides=(24, 24),
+              base_size=64, size_mode="long")
+    plain = SlidingWindowTTA(_identity_model(c), c, **kw)(x)
+    sharded = SlidingWindowTTA(_identity_model(c), c, mesh=make_mesh(), **kw)(x)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain),
+                               rtol=1e-5, atol=1e-6)
