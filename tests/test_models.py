@@ -109,3 +109,17 @@ def test_train_mode_updates_batch_stats():
     after = jax.tree.leaves(updates["batch_stats"])
     assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0
                for a, b in zip(after, before))
+
+
+def test_swin_remat_matches_plain(rng_np):
+    """use_checkpoint (remat) must not change values."""
+    import numpy as np
+    x = jnp.ones((1, 56, 56, 3))
+    plain = SwinTransformer("swinT", drop_path_rate=0.0, remat=False)
+    v = plain.init(jax.random.key(0), x, train=False)
+    remat = SwinTransformer("swinT", drop_path_rate=0.0, remat=True)
+    outs_p = plain.apply(v, x, train=False)
+    outs_r = remat.apply(v, x, train=False)
+    for a, b in zip(outs_p, outs_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
