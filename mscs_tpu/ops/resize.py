@@ -47,10 +47,39 @@ def _nearest_idx(in_size: int, out_size: int) -> np.ndarray:
     return np.clip(idx.astype(np.int64), 0, in_size - 1)
 
 
+# Implementation selector: 'matmul' (interpolation-matrix einsum at HIGHEST
+# precision, the default) vs 'gather' (two takes + lerp).  Both match torch
+# to fp32 ulp-level; the gather form makes XLA assign gather-major layouts
+# that pollute downstream conv/reduce layouts in big graphs — switching the
+# HRNet train step to matmul resizes was worth +32% (PERF.md).
+_RESIZE_IMPL = "matmul"
+
+
+def set_resize_impl(impl: str) -> None:
+    global _RESIZE_IMPL
+    assert impl in ("gather", "matmul")
+    _RESIZE_IMPL = impl
+
+
+def _interp_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    lo, hi, w_hi = _bilinear_idx_weights(in_size, out_size, align_corners)
+    a = np.zeros((out_size, in_size), np.float32)
+    np.add.at(a, (np.arange(out_size), lo), 1.0 - w_hi)
+    np.add.at(a, (np.arange(out_size), hi), w_hi)
+    return a
+
+
 def _interp_axis(x: jnp.ndarray, axis: int, in_size: int, out_size: int,
                  align_corners: bool) -> jnp.ndarray:
     if in_size == out_size:
         return x
+    if _RESIZE_IMPL == "matmul":
+        import jax
+        a = jnp.asarray(_interp_matrix(in_size, out_size, align_corners))
+        x_moved = jnp.moveaxis(x, axis, -1)
+        y = jnp.einsum("oi,...i->...o", a, x_moved.astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST).astype(x.dtype)
+        return jnp.moveaxis(y, -1, axis)
     lo, hi, w_hi = _bilinear_idx_weights(in_size, out_size, align_corners)
     x_lo = jnp.take(x, jnp.asarray(lo), axis=axis)
     x_hi = jnp.take(x, jnp.asarray(hi), axis=axis)
