@@ -26,18 +26,16 @@ import os
 import time
 
 import jax
-
-# per-platform cache dir: CPU AOT artifacts are machine-feature-sensitive
-jax.config.update("jax_compilation_cache_dir",
-                  f"/tmp/jax_compile_cache_{jax.default_backend()}")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 import numpy as np
 
 A100_BASELINE_IMG_PER_SEC_PER_CHIP = 16.0  # at 512x512; see docstring
 
 
 def main():
-    from __graft_entry__ import FLAGSHIP_GRAPH, FLAGSHIP_LOSS, _build_train_setup
+    from __graft_entry__ import (FLAGSHIP_GRAPH, FLAGSHIP_LOSS,
+                                 _build_train_setup, _setup_compile_cache)
+
+    _setup_compile_cache()  # keyed on libtpu build — never serves stale AOT
     from mscs_tpu.parallel import make_mesh, replicate, shard_batch
 
     if os.environ.get("MSCS_BENCH_BF16"):
