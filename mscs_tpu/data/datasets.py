@@ -27,12 +27,28 @@ from mscs_tpu.data.datasets_info import (
 from mscs_tpu.data.transforms import apply_transforms
 
 
+try:  # cv2 decodes PNG/JPEG ~2x faster than PIL and releases the GIL
+    import cv2
+    cv2.setNumThreads(0)  # workers parallelise across records, not within
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
 def load_image(path) -> np.ndarray:
+    if cv2 is not None:
+        img = cv2.imread(str(path), cv2.IMREAD_COLOR)
+        if img is not None:
+            return img[..., ::-1]  # BGR -> RGB
     return np.asarray(Image.open(path).convert("RGB"))
 
 
 def load_label(path) -> np.ndarray:
-    return np.asarray(Image.open(path)).astype(np.int32)
+    # keep the smallest dtype the file provides; remap/crop handle widening
+    if cv2 is not None:
+        lbl = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
+        if lbl is not None and lbl.ndim == 2:
+            return lbl
+    return np.asarray(Image.open(path))
 
 
 class SegDataset:
@@ -47,12 +63,17 @@ class SegDataset:
         self.records: list[tuple[Any, Any]] = []
         lut_exp = remap_lookup(dataset, experiment)
         lut_net = to_network_lookup(dataset, experiment)
-        self._lut = lut_net[np.clip(lut_exp, 0, 255)]
+        lut = lut_net[np.clip(lut_exp, 0, 255)]
+        # uint8 LUT keeps the full-res remapped label 1 byte/px (crops widen
+        # to int32 after augmentation)
+        self._lut = lut.astype(np.uint8) if lut.max() < 256 else lut
 
     def __len__(self) -> int:
         return len(self.records)
 
     def remap(self, lbl: np.ndarray) -> np.ndarray:
+        if lbl.dtype == np.uint8:  # cannot exceed the 256-entry LUT
+            return self._lut[lbl]
         return self._lut[np.clip(lbl, 0, 255)]
 
     def __getitem__(self, index: int):
@@ -181,6 +202,8 @@ class SyntheticDataset(SegDataset):
         blocks = rng.integers(0, n, (h // 32 + 1, w // 32 + 1))
         lbl = np.kron(blocks, np.ones((32, 32), np.int64))[:h, :w].astype(np.int32)
         metadata = {"index": index}
+        if self.return_filename:
+            metadata["filename"] = f"synthetic_{index:06d}.png"
         img, lbl, metadata = apply_transforms(img, lbl, self.transforms_dict,
                                               metadata)
         return img, lbl, metadata

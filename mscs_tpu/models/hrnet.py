@@ -182,8 +182,13 @@ class HighResolutionNet(nn.Module):
                     new_xs.append(v)
             xs = new_xs
             for m in range(n_mod):
+                # Reference quirk: _make_stage never forwards align_corners to
+                # HighResolutionModule (ref models/HRNet.py:486-494), so fuse
+                # upsamples ALWAYS use align_corners=False even when the final
+                # concat upsample (below) honors the config.  Preserved for
+                # ImageNet-weight activation parity (test_pretrained).
                 xs = HRModule(n_br, tuple(nblk), tuple(nch),
-                              self.align_corners,
+                              align_corners=False,
                               name=f"{stage_key}_module{m}")(xs, train)
             prev_channels = list(nch)
 

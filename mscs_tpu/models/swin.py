@@ -115,27 +115,31 @@ class SwinBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         """x: (B, H, W, C)."""
         b, h, w, c = x.shape
+        # Reference semantics (seg-variant Swin, ref models/Swin.py:295-332):
+        # the window is NEVER clamped to the feature size — small maps are
+        # zero-padded up to a window multiple, padded tokens attend freely in
+        # non-shifted blocks, and the shift/mask machinery runs unchanged.
+        # (Keeps the bias table at its checkpoint shape (2ws-1)² everywhere.)
         ws = self.window_size
-        shift = self.shift_size if min(h, w) > ws else 0
-        ws_eff = min(ws, h, w) if min(h, w) <= ws else ws
+        shift = self.shift_size
 
         shortcut = x
         y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
-        pad_b = (ws_eff - h % ws_eff) % ws_eff
-        pad_r = (ws_eff - w % ws_eff) % ws_eff
+        pad_b = (ws - h % ws) % ws
+        pad_r = (ws - w % ws) % ws
         y = jnp.pad(y, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
         hp, wp = h + pad_b, w + pad_r
         if shift > 0:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-            mask = jnp.asarray(_shift_attn_mask(hp, wp, ws_eff, shift))
+            mask = jnp.asarray(_shift_attn_mask(hp, wp, ws, shift))
         else:
             mask = None
         # window partition: reshape + transpose only
-        y = y.reshape(b, hp // ws_eff, ws_eff, wp // ws_eff, ws_eff, c)
-        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws_eff * ws_eff, c)
-        y = WindowAttention(self.dim, ws_eff, self.num_heads, self.qkv_bias,
+        y = y.reshape(b, hp // ws, ws, wp // ws, ws, c)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+        y = WindowAttention(self.dim, ws, self.num_heads, self.qkv_bias,
                             name="attn")(y, mask)
-        y = y.reshape(b, hp // ws_eff, wp // ws_eff, ws_eff, ws_eff, c)
+        y = y.reshape(b, hp // ws, wp // ws, ws, ws, c)
         y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))

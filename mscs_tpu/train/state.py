@@ -118,13 +118,23 @@ def make_train_step(loss_wrapper: LossWrapper, num_classes: int,
 
 
 def make_eval_step(num_classes: int, has_interm: bool | None = None,
-                   has_proj: bool | None = None):
-    def eval_step(state: TrainState, batch):
+                   has_proj: bool | None = None,
+                   loss_wrapper: LossWrapper | None = None):
+    """Eval forward + confusion matrix; with ``loss_wrapper``, also the
+    validation loss (the reference computes the full LossWrapper during
+    validation for best-loss tracking, HRNet_Manager.py:148-209)."""
+
+    def eval_step(state: TrainState, batch, rng=None, epoch=0):
         outputs = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["image"], train=False)
-        logits, interm, _ = split_outputs(outputs, has_interm, has_proj)
+        logits, interm, feats = split_outputs(outputs, has_interm, has_proj)
         cm = confusion_matrix(logits, batch["label"], num_classes)
-        return logits, cm
+        if loss_wrapper is None:
+            return logits, cm
+        total, _ = loss_wrapper(rng, logits, batch["label"],
+                                deep_features=feats,
+                                interm_prediction=interm, epoch=epoch)
+        return logits, cm, total
 
     return eval_step

@@ -122,9 +122,11 @@ class Trainer:
         p = pathlib.Path(spec)
         for cand in (p, p / "chkpts",
                      pathlib.Path(self.config.get("log_path", "logs")) / spec / "chkpts"):
-            if cand.exists():
-                return cand if cand.name == "chkpts" or any(
-                    cand.glob("best")) or any(cand.glob("epoch_*")) else cand
+            # only accept a directory that actually holds checkpoints
+            if cand.is_dir() and any(
+                    next(cand.glob(pat), None) is not None
+                    for pat in ("best", "last", "epoch_*")):
+                return cand
         return None
 
     # ------------------------------------------------------------------ data
@@ -140,6 +142,10 @@ class Trainer:
 
         data_path = cfg.get("data_path")
         synthetic = cfg.get("synthetic_data", False) or data_path is None
+        # submission outputs are named by the source filename
+        # (ref BaseManager.save_output :677-699 uses metadata filenames)
+        return_fn = bool(cfg.get("save_outputs")
+                         or cfg.get("mode") == "inference")
         if synthetic:
             hw = dcfg.get("transform_values", {}).get("crop_shape", [512, 512])
             n_train = 8 if self.debugging else dcfg.get("synthetic_length", 64)
@@ -147,13 +153,15 @@ class Trainer:
                                               tf_train, length=n_train, hw=hw)
             self.valid_set = SyntheticDataset(self.dataset, self.experiment,
                                               tf_val if tf_val["common"] else tf_train,
-                                              length=4, hw=hw, seed=1)
+                                              length=4, hw=hw, seed=1,
+                                              return_filename=return_fn)
         elif self.dataset == "CADIS":
             train_df, valid_df = get_cadis_dataframes(cfg)
             self.train_set = DatasetFromDF(train_df, data_path, tf_train,
                                            self.experiment)
             self.valid_set = DatasetFromDF(valid_df, data_path, tf_val,
-                                           self.experiment)
+                                           self.experiment,
+                                           return_filename=return_fn)
             self._train_df = train_df
         else:
             ds_cls = DATASET_REGISTRY[self.dataset]
@@ -163,12 +171,15 @@ class Trainer:
             self.train_set = ds_cls(data_path, tf_train, split=train_split,
                                     experiment=self.experiment)
             self.valid_set = ds_cls(data_path, tf_val, split="val",
-                                    experiment=self.experiment)
+                                    experiment=self.experiment,
+                                    return_filename=return_fn)
 
         self.batch_size = dcfg.get("batch_size", 8)
+        worker_type = dcfg.get("worker_type", "thread")
         self.train_loader = DataLoader(
             self.train_set, self.batch_size, shuffle=True, drop_last=True,
-            num_workers=dcfg.get("num_workers", 4), seed=cfg.get("seed", 0))
+            num_workers=dcfg.get("num_workers", 4), seed=cfg.get("seed", 0),
+            worker_type=worker_type)
         # repeat-factor epoch schedule (ref BaseManager.load_data :217-244;
         # CaDIS recipes oversample rare-class frames between two epochs)
         self.rf_loader = None
@@ -184,19 +195,26 @@ class Trainer:
             self.rf_loader = DataLoader(
                 self.train_set, self.batch_size, shuffle=True, drop_last=True,
                 num_workers=dcfg.get("num_workers", 4),
-                seed=cfg.get("seed", 0), repeat_factors=rfs)
+                seed=cfg.get("seed", 0), repeat_factors=rfs,
+                worker_type=worker_type)
             self.rf_epochs = range(int(rf_range[0]), int(rf_range[1]))
         vb = cfg.get("valid_batch_size", 1)
         self.valid_loader = DataLoader(
             self.valid_set, vb, shuffle=False, drop_last=False,
-            num_workers=dcfg.get("num_workers", 4))
+            num_workers=dcfg.get("num_workers", 4),
+            worker_type=worker_type)
 
     # ----------------------------------------------------------------- model
     def _build_model_and_state(self) -> None:
         cfg = self.config
         gcfg = graph_config(cfg)
         self.model = build_model(gcfg, self.experiment)
-        self.loss_wrapper = LossWrapper.from_config(loss_config(cfg))
+        lw_cfg = loss_config(cfg)
+        # opt-in exact-DDP contrastive semantics: per-device anchor pools
+        # (see DenseContrastiveLossV2_ms.anchor_groups)
+        if lw_cfg.get("per_replica_anchors"):
+            lw_cfg["anchor_groups"] = int(self.mesh.devices.size)
+        self.loss_wrapper = LossWrapper.from_config(lw_cfg)
         self.has_interm, self.has_proj = output_flags(gcfg)
 
         crop = cfg["data"].get("transform_values", {}).get(
@@ -204,6 +222,15 @@ class Trainer:
         sample = jnp.zeros((1, int(crop[0]), int(crop[1]), 3), jnp.float32)
         variables = jax.jit(self.model.init, static_argnames=("train",))(
             jax.random.key(cfg.get("seed", 0)), sample, train=False)
+
+        # ImageNet init (ref loads it in the model constructors,
+        # models/HRNet.py:657-684 / Swin.py:674-716; skipped when resuming a
+        # checkpoint exactly like ref BaseManager.py:54)
+        if gcfg.get("pretrained") and not cfg.get("load_checkpoint"):
+            from mscs_tpu.utils.pretrained import load_pretrained_backbone
+            variables = load_pretrained_backbone(
+                variables, gcfg, data_path=cfg.get("data_path"),
+                required=not cfg.get("synthetic_data", False))
 
         epochs = cfg["train"]["epochs"]
         bpe = max(len(self.train_loader), 1)
@@ -230,6 +257,10 @@ class Trainer:
         self.eval_step = jax.jit(make_eval_step(
             self.num_classes, has_interm=self.has_interm,
             has_proj=self.has_proj))
+        # eval + validation loss (for best_loss, ref valid_logging :213-291)
+        self.val_step = jax.jit(make_eval_step(
+            self.num_classes, has_interm=self.has_interm,
+            has_proj=self.has_proj, loss_wrapper=self.loss_wrapper))
         self.start_epoch = 0
 
         if cfg.get("load_checkpoint"):
@@ -282,7 +313,11 @@ class Trainer:
         scalars["lr"] = float(self.lr_schedule(
             int(jax.device_get(self.state.step)) - 1 if self.lr_batchwise
             else epoch))
-        scalars["images_per_sec"] = max(seen - 1, 1) * self.batch_size / max(dt, 1e-9)
+        # step 0 (compile) is excluded from the window, so `seen - 1` batches
+        # were timed; report 0 for 1-batch epochs instead of a fake number
+        timed = max(seen - 1, 0)
+        scalars["images_per_sec"] = (timed * self.batch_size / max(dt, 1e-9)
+                                     if timed else 0.0)
         miou = mean_iou(jnp.asarray(cm), self.dataset, self.experiment)
         scalars["train_miou"] = miou["mean_iou"]
         self.train_writer.add_scalars(int(jax.device_get(self.state.step)),
@@ -294,19 +329,31 @@ class Trainer:
     def validate(self, epoch: int) -> dict[str, float]:
         cm = np.zeros((self.num_classes, self.num_classes), np.int64)
         limit = 3 if self.debugging else len(self.valid_loader)
-        losses = 0.0
+        loss_sum, n_batches = 0.0, 0
+        panel = None
         for i, batch in enumerate(self.valid_loader):
             if i >= limit:
                 break
             device_batch = {
                 "image": jnp.asarray(batch["image"]),
                 "label": jnp.asarray(batch["label"])}
-            _, cm_b = self.eval_step(self.state, device_batch)
+            logits, cm_b, loss_b = self.val_step(
+                self.state, device_batch,
+                jax.random.fold_in(self.rng, 7919 + i), epoch)
             cm += np.asarray(jax.device_get(cm_b), np.int64)
+            loss_sum += float(jax.device_get(loss_b))
+            n_batches += 1
+            if i == 0:
+                panel = (np.asarray(jax.device_get(device_batch["image"][0])),
+                         np.asarray(batch["label"][0]),
+                         np.asarray(jax.device_get(
+                             jnp.argmax(logits[0], axis=-1))))
         mious = mean_iou(jnp.asarray(cm), self.dataset, self.experiment,
                          categories=True)
         pa, pac = pixel_accuracy(jnp.asarray(cm))
-        scalars = {"miou": mious["mean_iou"], "pixel_acc": float(pa),
+        val_loss = loss_sum / max(n_batches, 1)
+        scalars = {"miou": mious["mean_iou"], "loss": val_loss,
+                   "pixel_acc": float(pa),
                    "pixel_acc_per_class": float(pac)}
         for cat, v in mious.get("categories", {}).items():
             scalars[f"miou_{cat}"] = v
@@ -315,16 +362,35 @@ class Trainer:
         printlog(f"epoch {epoch:03d} valid: " + ", ".join(
             f"{k}={v:.4f}" for k, v in scalars.items()))
 
+        # image panel + confusion-matrix heatmap per validation
+        # (ref LoggingManager.py:163-170, 224-231 write these to TensorBoard)
+        if self.config.get("log_images", True):
+            from mscs_tpu.utils.viz import (confusion_matrix_figure,
+                                            to_comb_image)
+            from PIL import Image as PILImage
+            viz_dir = self.log_dir / "viz"
+            viz_dir.mkdir(exist_ok=True)
+            if panel is not None:
+                img = to_comb_image(panel[0], panel[1], panel[2],
+                                    self.dataset, self.experiment)
+                PILImage.fromarray(img).save(
+                    viz_dir / f"valid_e{epoch:03d}_panel.png")
+            confusion_matrix_figure(cm, self.dataset, self.experiment,
+                                    viz_dir / f"valid_e{epoch:03d}_cm.png")
+
         # best tracking + checkpointing (ref valid_logging :213-291)
+        self.metrics["best_loss"] = min(self.metrics.get("best_loss",
+                                                         float("inf")),
+                                        val_loss)
         if scalars["miou"] > self.metrics["best_miou"]:
             self.metrics["best_miou"] = scalars["miou"]
             self.metrics["best_epoch"] = epoch
             self.checkpoints.save(self.state, epoch,
-                                  self.metrics["best_miou"], losses,
+                                  self.metrics["best_miou"], val_loss,
                                   is_best=True)
         if (epoch + 1) % self.config.get("log_every_n_epochs", 100) == 0:
             self.checkpoints.save(self.state, epoch,
-                                  self.metrics["best_miou"], losses)
+                                  self.metrics["best_miou"], val_loss)
         self.write_info_json()
         return scalars
 
@@ -379,25 +445,36 @@ class Trainer:
 
         state = self.state
 
-        def apply_fn(image):
-            outputs = state.apply_fn(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                image, train=False)
+        # params are ARGUMENTS, not closures: closed-over weights embed as
+        # HLO constants (hundreds of MB for W48) and can overflow
+        # remote-compile transport limits
+        @jax.jit
+        def apply_vars(variables, image):
+            outputs = state.apply_fn(variables, image, train=False)
             logits, _, _ = split_outputs(outputs, self.has_interm,
                                          self.has_proj)
             return logits
 
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        apply_jit = lambda image: apply_vars(variables, image)
+
         use_tta = self.config.get("tta", False)
-        apply_jit = jax.jit(apply_fn)
         tta = build_tta(apply_jit, self.config, self.num_classes,
                         mesh=self.mesh) \
             if use_tta else None
         cm = np.zeros((self.num_classes, self.num_classes), np.int64)
         limit = (10 if self.debugging else len(self.valid_loader))
-        save_dir = None
+        submit_dir = debug_dir = None
         if self.config.get("save_outputs"):
-            save_dir = self.log_dir / "outputs"
-            save_dir.mkdir(exist_ok=True)
+            # ref layout: outputs/{split}/submit (id-remapped submission
+            # PNGs) + outputs/{split}/debug (colormap visualisations), named
+            # by the source filename (ref BaseManager.save_output :677-699)
+            split = self.config["data"].get("split", "val")
+            split = split[-1] if isinstance(split, list) else split
+            submit_dir = self.log_dir / "outputs" / str(split) / "submit"
+            debug_dir = self.log_dir / "outputs" / str(split) / "debug"
+            submit_dir.mkdir(parents=True, exist_ok=True)
+            debug_dir.mkdir(parents=True, exist_ok=True)
         for i, batch in enumerate(self.valid_loader):
             if i >= limit:
                 break
@@ -410,11 +487,18 @@ class Trainer:
             cm += np.asarray(jax.device_get(cm_fn(
                 jnp.asarray(logits), jnp.asarray(label),
                 self.num_classes)), np.int64)
-            if save_dir is not None:
-                from mscs_tpu.utils.viz import save_submission_png
+            if submit_dir is not None:
+                from PIL import Image as PILImage
+                from mscs_tpu.utils.viz import (mask_to_colormap,
+                                                save_submission_png)
+                stem = (pathlib.Path(meta["filename"]).stem
+                        if meta and meta.get("filename") else f"{i:06d}")
                 pred = np.argmax(logits[0], axis=-1)
-                save_submission_png(pred, save_dir / f"{i:06d}.png",
+                save_submission_png(pred, submit_dir / f"{stem}.png",
                                     self.dataset, self.experiment)
+                PILImage.fromarray(
+                    mask_to_colormap(pred, self.dataset, self.experiment)
+                ).save(debug_dir / f"{stem}.png")
         mious = mean_iou(jnp.asarray(cm), self.dataset, self.experiment,
                          categories=True)
         result = {"miou": mious["mean_iou"]}
@@ -443,10 +527,8 @@ class Trainer:
         state = self.state
 
         @jax.jit
-        def feats_fn(image):
-            outputs = state.apply_fn(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                image, train=False)
+        def feats_vars(variables, image):
+            outputs = state.apply_fn(variables, image, train=False)
             _, _, feats = split_outputs(outputs, self.has_interm,
                                         self.has_proj)
             if isinstance(feats, (list, tuple)):
@@ -454,6 +536,9 @@ class Trainer:
                 strides = [image.shape[1] // f.shape[1] for f in feats]
                 feats = feats[int(np.argmin([abs(s - scale) for s in strides]))]
             return feats
+
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        feats_fn = lambda image: feats_vars(variables, image)
 
         limit = 10 if self.debugging else len(self.valid_loader)
         for i, batch in enumerate(self.valid_loader):

@@ -277,6 +277,79 @@ def convert_swin(sd: dict, variant: str = "swinT") -> dict:
     return {"params": p}
 
 
+def convert_projector_stack(sd: dict, prefix: str, mlp: list,
+                            use_bn: bool) -> tuple[dict, dict]:
+    """One torch ``Projector.project{i}`` Sequential -> our ``_ProjectorStack``
+    trees.  Torch indices per mlp layer: conv, ReLU[, BN]; final 1x1 conv last
+    (ref models/Projector.py:49-72)."""
+    p: dict[str, Any] = {}
+    bs: dict[str, Any] = {}
+    idx = 0
+    for layer_id in range(len(mlp)):
+        node = {"conv": {}}
+        convert_conv(sd, f"{prefix}.{idx}", node["conv"])
+        p[f"conv{layer_id}"] = node
+        idx += 2  # conv + relu
+        if use_bn:
+            bn_p: dict[str, Any] = {"bn": {}}
+            bn_b: dict[str, Any] = {"bn": {}}
+            convert_bn(sd, f"{prefix}.{idx}", bn_p["bn"], bn_b["bn"])
+            p[f"bn{layer_id}"] = bn_p
+            bs[f"bn{layer_id}"] = bn_b
+            idx += 1
+    lin = {"conv": {}}
+    convert_conv(sd, f"{prefix}.{idx}", lin["conv"])
+    p["linear"] = lin
+    return p, bs
+
+
+def convert_hrnet_seg(sd: dict, graph_cfg: dict,
+                      variant: str = "hrnet48") -> dict:
+    """Full reference seg-HRNet (``models/HRNet.py:562-654``) state_dict ->
+    our ``HRNet`` variables: backbone + cls head + (ms_)projector.  Used by
+    the parity harness to start both frameworks from identical weights."""
+    sd = strip_module_prefix(sd)
+    bb_sd = {k[len("backbone."):]: v for k, v in sd.items()
+             if k.startswith("backbone.")}
+    bb = convert_hrnet(bb_sd, variant)
+    p: dict[str, Any] = {"backbone": bb["params"]}
+    bs: dict[str, Any] = {"backbone": bb["batch_stats"]}
+
+    # cls_head: Sequential(conv3x3 bias, BN, conv1x1 no-bias)
+    p["cls_conv1"] = {"conv": {}}
+    convert_conv(sd, "cls_head.0", p["cls_conv1"]["conv"])
+    p["cls_bn"] = {"bn": {}}
+    bs["cls_bn"] = {"bn": {}}
+    convert_bn(sd, "cls_head.1", p["cls_bn"]["bn"], bs["cls_bn"]["bn"])
+    p["cls_conv2"] = {"conv": {}}
+    convert_conv(sd, "cls_head.2", p["cls_conv2"]["conv"])
+
+    for key, scope in (("ms_projector", "ms_projector"),
+                       ("projector", "projector")):
+        if key not in graph_cfg:
+            continue
+        pcfg = graph_cfg[key]
+        mlp, use_bn = pcfg.get("mlp", []), pcfg.get("use_bn", False)
+        if key == "ms_projector":
+            scales = pcfg.get("scales", 4)
+            node_p, node_b = {}, {}
+            for i in range(scales):
+                sp, sb = convert_projector_stack(
+                    sd, f"projector_model.project{i}", mlp, use_bn)
+                node_p[f"project{i}"] = sp
+                if sb:
+                    node_b[f"project{i}"] = sb
+        else:
+            sp, sb = convert_projector_stack(sd, "projector_model.project",
+                                             mlp, use_bn)
+            node_p = {"project": sp}
+            node_b = {"project": sb} if sb else {}
+        p[scope] = node_p
+        if node_b:
+            bs[scope] = node_b
+    return {"params": p, "batch_stats": bs}
+
+
 def pad_variables(src: dict, template: dict) -> dict:
     """Embed an unpadded variable tree into a channel-padded template
     (zero-fill the extra channels).  Lets unpadded ImageNet checkpoints load

@@ -105,7 +105,9 @@ def test_trainer_infer_with_tta(tmp_path):
     result = trainer.infer()
     assert 0.0 <= result["miou"] <= 1.0
     assert any(trainer.log_dir.glob("*_infer_tta.json"))
-    assert any((trainer.log_dir / "outputs").glob("*.png"))
+    # ref layout: outputs/{split}/{submit,debug}/<stem>.png
+    assert any((trainer.log_dir / "outputs").glob("*/submit/*.png"))
+    assert any((trainer.log_dir / "outputs").glob("*/debug/*.png"))
 
 
 def test_trainer_demo_tsne_and_diagnostics(tmp_path):
