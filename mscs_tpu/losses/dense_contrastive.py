@@ -113,6 +113,7 @@ class DenseContrastiveLossV2_ms:
     detach_cs_deepest: bool = False
     w_high_low: float = 1.0
     w_high_mid: float = 1.0
+    anchor_groups: int = 1
     scale_loss: DenseContrastiveLossV2 = field(default=None)  # type: ignore
 
     @classmethod
@@ -137,15 +138,43 @@ class DenseContrastiveLossV2_ms:
             detach_cs_deepest=config.get("detach_deepest", False),
             w_high_low=config.get("w_high_low", 1.0),
             w_high_mid=config.get("w_high_mid", 1.0),
+            anchor_groups=config.get("anchor_groups", 1),
             scale_loss=DenseContrastiveLossV2.from_config(base),
         )
 
     def __call__(self, rng: jax.Array, label: jnp.ndarray,
                  features: list[jnp.ndarray]):
         """Returns (loss, aux) where aux = {'ms_losses': [...], 'cs_losses': [...]}
-        (the reference exposes these as mutable attributes for TB logging)."""
+        (the reference exposes these as mutable attributes for TB logging).
+
+        ``anchor_groups`` > 1 splits the batch into that many groups and
+        computes an independent loss per group (mean over groups).  With
+        groups == device count this reproduces the reference's DDP semantics
+        exactly: each replica samples anchors only from its local sub-batch
+        and its similarity matrix never crosses replicas (SURVEY §2.6 —
+        the ref hooks ``concat_all_gather`` but never gathers).  Group loss
+        terms are batch-local, so XLA keeps each group's (T·V)² matrix on
+        its own shard — no anchor collectives on the wire.  Default 1 =
+        one global-batch loss (single-GPU-at-global-batch semantics)."""
         assert len(features) >= self.scales, (
             f"need {self.scales} feature scales, got {len(features)}")
+        if self.anchor_groups > 1:
+            g = self.anchor_groups
+            n = label.shape[0]
+            assert n % g == 0, f"batch {n} not divisible by groups {g}"
+            lbl_g = label.reshape(g, n // g, *label.shape[1:])
+            feats_g = tuple(f.reshape(g, n // g, *f.shape[1:])
+                            for f in features[: self.scales])
+            rngs = jax.random.split(rng, g)
+            losses, auxs = jax.vmap(
+                lambda r, l, fs: self._forward(r, l, list(fs))
+            )(rngs, lbl_g, feats_g)
+            aux = jax.tree.map(jnp.mean, auxs)
+            return jnp.mean(losses), aux
+        return self._forward(rng, label, features)
+
+    def _forward(self, rng: jax.Array, label: jnp.ndarray,
+                 features: list[jnp.ndarray]):
         keys = jax.random.split(rng, self.scales)
         loss = jnp.float32(0.0)
         ms_losses, cs_losses = [], []
