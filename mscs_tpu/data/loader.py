@@ -1,11 +1,18 @@
-"""Host data loader: threaded decode/augment workers + device prefetch.
+"""Host data loader: parallel decode/augment workers + device prefetch.
 
 Replaces torch DataLoader + DistributedSampler (ref
 ``managers/BaseManager.py:279-435``): fixed-shape batches are assembled on
-the host by a thread pool, sharded onto the mesh's data axis, and prefetched
+the host by a worker pool, sharded onto the mesh's data axis, and prefetched
 so the next batch's H2D copy overlaps the current step.  Multi-host runs
 slice the global index order by process, like DistributedSampler rank
 sharding.
+
+``worker_type``: 'thread' (default — zero setup cost, fine when decode/
+augment release the GIL or the host has few cores) or 'process' (true
+parallelism across cores, the torch-DataLoader model; spawn context so no
+TPU runtime state is forked into workers).  Records are fetched through a
+bounded in-flight window so augmentation of future batches overlaps the
+current training step regardless of pool type.
 """
 from __future__ import annotations
 
@@ -19,6 +26,17 @@ import numpy as np
 from mscs_tpu.data.sampler import repeat_factor_indices, shuffled_indices
 from mscs_tpu.parallel.mesh import shard_batch
 
+_WORKER_DATASET = None
+
+
+def _process_worker_init(dataset) -> None:
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _process_worker_fetch(i: int):
+    return _WORKER_DATASET[int(i)]
+
 
 class DataLoader:
     """Epoch-based iterator of {'image', 'label'} numpy batches."""
@@ -27,7 +45,8 @@ class DataLoader:
                  drop_last: bool = True, num_workers: int = 4, seed: int = 0,
                  repeat_factors: np.ndarray | None = None,
                  process_index: int | None = None,
-                 process_count: int | None = None):
+                 process_count: int | None = None,
+                 worker_type: str = "thread"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -39,7 +58,9 @@ class DataLoader:
                               else process_index)
         self.process_count = (jax.process_count() if process_count is None
                               else process_count)
+        self.worker_type = worker_type
         self.epoch = 0
+        self._pool = None
 
     def set_epoch(self, epoch: int) -> None:
         """DistributedSampler.set_epoch equivalent (ref :156-157)."""
@@ -59,20 +80,77 @@ class DataLoader:
         n = len(self._epoch_indices())
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    # ------------------------------------------------------------- pool mgmt
+    def _submit_fn(self):
+        """Returns submit(i) -> handle and result(handle) -> record."""
+        if self.worker_type == "process":
+            if self._pool is None:
+                import multiprocessing as mp
+                ctx = mp.get_context("spawn")
+                self._pool = ctx.Pool(self.num_workers,
+                                      initializer=_process_worker_init,
+                                      initargs=(self.dataset,))
+            pool = self._pool
+            return (lambda i: pool.apply_async(_process_worker_fetch, (int(i),)),
+                    lambda h: h.get())
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(self.num_workers)
+        pool = self._pool
+        ds = self.dataset
+        return (lambda i: pool.submit(lambda j=int(i): ds[j]),
+                lambda h: h.result())
+
+    def close(self) -> None:
+        if self._pool is not None:
+            if self.worker_type == "process":
+                self._pool.terminate()
+            else:
+                self._pool.shutdown(wait=False)
+            self._pool = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    # -------------------------------------------------------------- iteration
     def __iter__(self) -> Iterator[dict[str, Any]]:
         idx = self._epoch_indices()
         nb = len(self)
-        with ThreadPoolExecutor(self.num_workers) as pool:
-            def fetch(i):
-                return self.dataset[int(i)]
+        flat = idx[: nb * self.batch_size] if self.drop_last else idx
+        submit, result = self._submit_fn()
 
-            for b in range(nb):
-                chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
-                recs = list(pool.map(fetch, chunk))
-                imgs = np.stack([r[0] for r in recs]).astype(np.float32)
-                lbls = np.stack([r[1] for r in recs]).astype(np.int32)
-                metas = [r[2] for r in recs]
-                yield {"image": imgs, "label": lbls, "metadata": metas}
+        # bounded in-flight window: workers keep decoding ahead of training
+        ahead = max(self.num_workers * 2, self.batch_size + 1)
+        handles: collections.deque = collections.deque()
+        it = iter(flat)
+        for _ in range(ahead):
+            try:
+                handles.append(submit(next(it)))
+            except StopIteration:
+                break
+
+        def records():
+            while handles:
+                h = handles.popleft()
+                try:
+                    handles.append(submit(next(it)))
+                except StopIteration:
+                    pass
+                yield result(h)
+
+        rec_it = records()
+        for b in range(nb):
+            want = (self.batch_size if self.drop_last or b < nb - 1
+                    else len(flat) - b * self.batch_size)
+            recs = [r for _, r in zip(range(want), rec_it)]
+            if not recs:
+                return
+            imgs = np.stack([r[0] for r in recs]).astype(np.float32)
+            lbls = np.stack([r[1] for r in recs]).astype(np.int32)
+            metas = [r[2] for r in recs]
+            yield {"image": imgs, "label": lbls, "metadata": metas}
 
 
 def device_prefetch(iterator, mesh, size: int = 2):

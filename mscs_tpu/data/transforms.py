@@ -96,6 +96,99 @@ class RandomResize(BaseTransform):
         return (img, lbl, *meta)
 
 
+class FastScaleCrop(BaseTransform):
+    """Fused RandomResize + RandomCropImgLbl with the SAME sampling
+    distribution but ~(scale * image/crop)^2 less resize work.
+
+    The reference resizes the full image (up to 2048x4096 at scale 2) and
+    then crops 512^2 (transforms.py:202-283 + :49-108).  Only the cropped
+    window ever reaches the model, so this computes the equivalent: sample
+    the same scale/aspect/origin in resized coordinates, then crop+resize
+    just that window via PIL's fractional ``box=`` (exact subpixel math).
+    Crop retries (class-ratio cap) re-evaluate only the 512^2 NEAREST label
+    window.  When the resized image is smaller than the crop, it falls back
+    to the reference ops verbatim (resize + random-position pad + crop).
+
+    Distribution-equivalent, not rng-stream-equivalent, to the reference
+    pair; disable with ``transform_values['fast_scale_crop'] = false``.
+    """
+
+    def __init__(self, dataset, experiment, crop_shape,
+                 scale_range=(0.5, 2.0), aspect_range=(0.9, 1.1),
+                 probability=1.0, crop_class_max_ratio=None):
+        super().__init__(dataset, experiment)
+        self.crop_shape = tuple(crop_shape)  # (H, W)
+        self.scale_range = scale_range
+        self.aspect_range = aspect_range
+        self.probability = probability
+        self.crop_class_max_ratio = crop_class_max_ratio
+        self.patience = 10
+
+    def _label_window(self, lbl_img, box, th, tw):
+        win = lbl_img.resize((tw, th), Image.NEAREST, box=box)
+        return np.asarray(win)
+
+    def _ratio_ok(self, lbl_crop) -> bool:
+        classes, cnt = np.unique(lbl_crop, return_counts=True)
+        cnt = cnt[classes != self.ignore_class]
+        return (len(cnt) > 1
+                and cnt.max() / cnt.sum() < self.crop_class_max_ratio)
+
+    def __call__(self, arrs):
+        img, lbl, *meta = arrs
+        th, tw = self.crop_shape
+        h, w = lbl.shape[:2]
+        if np.random.random() < self.probability:
+            scale = random.uniform(*self.scale_range)
+            aspect = random.uniform(*self.aspect_range)
+            wr = math.sqrt(aspect) * scale
+            hr = math.sqrt(1.0 / aspect) * scale
+        else:
+            wr = hr = 1.0
+        new_w, new_h = int(w * wr), int(h * hr)  # resized-coordinate size
+        if new_h < th or new_w < tw:
+            # small-scale path: the reference pads the resized image to crop
+            # shape with a random offset — cheap at these sizes, keep exact
+            rs = RandomResize(self.dataset, self.experiment,
+                              scale_range=(scale, scale) if hr != 1.0 else (1, 1),
+                              aspect_range=(aspect, aspect) if hr != 1.0 else (1, 1),
+                              probability=1.0 if hr != 1.0 else 0.0,
+                              target_size=(th, tw))
+            crop = RandomCropImgLbl(self.dataset, self.experiment,
+                                    self.crop_shape,
+                                    self.crop_class_max_ratio)
+            return crop(rs(arrs))
+
+        # window-crop path: origin uniform in resized coords, exactly like
+        # RandomCropImgLbl on the resized image
+        img_pil = Image.fromarray(img)
+        lbl_pil = Image.fromarray(lbl if lbl.dtype == np.uint8
+                                  else lbl.astype(np.uint8))
+        fx, fy = w / new_w, h / new_h  # resized px -> original px
+
+        def sample_box():
+            i = np.random.randint(0, new_h - th + 1)
+            j = np.random.randint(0, new_w - tw + 1)
+            return i, j, (min(j * fx, w), min(i * fy, h),
+                          min((j + tw) * fx, w), min((i + th) * fy, h))
+
+        i, j, box = sample_box()
+        lbl_crop = self._label_window(lbl_pil, box, th, tw)
+        if self.crop_class_max_ratio:
+            for _ in range(self.patience - 1):
+                if self._ratio_ok(lbl_crop):
+                    break
+                i, j, box = sample_box()
+                lbl_crop = self._label_window(lbl_pil, box, th, tw)
+        img_crop = np.asarray(
+            img_pil.resize((tw, th), Image.BILINEAR, box=box))
+        lbl_crop = lbl_crop.astype(lbl.dtype)
+        if meta:
+            meta[0]["crop_ijhw"] = [i, j, th, tw]
+        return (np.ascontiguousarray(img_crop),
+                np.ascontiguousarray(lbl_crop), *meta)
+
+
 class RandomCropImgLbl(BaseTransform):
     """Random crop with <=10 retries enforcing a dominant-class frequency cap
     (ref transforms.py:49-108)."""
@@ -286,6 +379,12 @@ def parse_transform_lists(transform_list: list[str],
     parser (``utils/config_parsers.py:232-340``)."""
     d = {"dataset": dataset, "experiment": experiment}
     td: dict[str, list] = {"common": [], "img": [], "lbl": []}
+    # fuse random_scale + RandomCropImgLbl into FastScaleCrop (same sampling
+    # distribution, resize work proportional to the crop not the full image);
+    # transform_values['fast_scale_crop']=false restores the reference ops
+    fused_scale_crop = ("random_scale" in transform_list
+                        and "RandomCropImgLbl" in transform_list
+                        and transform_values.get("fast_scale_crop", True))
     for t in transform_list:
         if t == "flip":
             td["common"].append(FlipNP())
@@ -306,6 +405,18 @@ def parse_transform_lists(transform_list: list[str],
                 fit_stride=transform_values["fit_stride_val"],
                 return_original_labels=True))
         elif t == "random_scale":
+            if fused_scale_crop:
+                if not any(isinstance(x, FastScaleCrop) for x in td["common"]):
+                    td["common"].append(FastScaleCrop(
+                        **d,
+                        crop_shape=transform_values["crop_shape"],
+                        scale_range=transform_values["scale_range"],
+                        aspect_range=transform_values.get("aspect_range",
+                                                          [0.9, 1.1]),
+                        probability=transform_values.get("p_random_scale", 1.0),
+                        crop_class_max_ratio=transform_values.get(
+                            "crop_class_max_ratio")))
+                continue
             td["common"].append(RandomResize(
                 **d,
                 scale_range=transform_values["scale_range"],
@@ -313,6 +424,8 @@ def parse_transform_lists(transform_list: list[str],
                 aspect_range=transform_values.get("aspect_range", [0.9, 1.1]),
                 probability=transform_values.get("p_random_scale", 1.0)))
         elif t == "RandomCropImgLbl":
+            if fused_scale_crop:
+                continue  # handled by the FastScaleCrop above
             td["common"].append(RandomCropImgLbl(
                 **d, shape=transform_values["crop_shape"],
                 crop_class_max_ratio=transform_values.get("crop_class_max_ratio")))

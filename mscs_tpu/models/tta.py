@@ -28,6 +28,42 @@ import numpy as np
 from mscs_tpu.ops.resize import resize_bilinear
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _gather_crops(img: jnp.ndarray, origins: jnp.ndarray,
+                  ch: int, cw: int) -> jnp.ndarray:
+    """(1,H,W,3) + (K,2) origins -> (K,ch,cw,3): one vmapped dynamic_slice
+    (constant trace size for any grid)."""
+    return jax.vmap(lambda o: jax.lax.dynamic_slice(
+        img[0], (o[0], o[1], 0), (ch, cw, 3)))(origins)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _scatter_add(preds: jnp.ndarray, origins: jnp.ndarray, h: int, w: int,
+                 ch: int, cw: int, c: int) -> jnp.ndarray:
+    """Overlap-count-normalised scatter-add of (K,ch,cw,C) crop predictions
+    as one lax.scan — trace time independent of grid size (the reference
+    python-loops crops, TTA_wrapper_CTS.py:116-133)."""
+    out0 = jnp.zeros((h, w, c), jnp.float32)
+    cnt0 = jnp.zeros((h, w, 1), jnp.float32)
+    ones = jnp.ones((ch, cw, 1), jnp.float32)
+
+    def body(carry, inp):
+        out, cnt = carry
+        pred, o = inp
+        idx = (o[0], o[1], 0)
+        out = jax.lax.dynamic_update_slice(
+            out, jax.lax.dynamic_slice(out, idx, (ch, cw, c)) + pred, idx)
+        cnt = jax.lax.dynamic_update_slice(
+            cnt, jax.lax.dynamic_slice(cnt, idx, (ch, cw, 1)) + ones, idx)
+        return (out, cnt), None
+
+    (out, cnt), _ = jax.lax.scan(body, (out0, cnt0), (preds, origins))
+    return (out / cnt)[None]
+
+
 def _crop_grid(h: int, w: int, crop: tuple[int, int],
                stride: tuple[int, int]) -> list[tuple[int, int]]:
     """Static crop origins, reference clamping rule (CTS :116-123)."""
@@ -121,19 +157,32 @@ class SlidingWindowTTA:
             pred = (pred + pred_f) * 0.5
         return jnp.exp(pred)
 
+    def _gather(self, img: jnp.ndarray, origins: np.ndarray) -> jnp.ndarray:
+        ch, cw = self.crop_size
+        return _gather_crops(img, jnp.asarray(origins, jnp.int32), ch, cw)
+
+    def _scatter(self, preds: jnp.ndarray, origins: np.ndarray,
+                 h: int, w: int) -> jnp.ndarray:
+        ch, cw = self.crop_size
+        return _scatter_add(preds, jnp.asarray(origins, jnp.int32), h, w,
+                            ch, cw, self.num_classes)
+
     def _slide(self, img: jnp.ndarray) -> jnp.ndarray:
-        """Batched sliding-window inference over one (1,H,W,3) image."""
+        """Batched sliding-window inference over one (1,H,W,3) image.
+
+        The model only ever sees fixed (chunk, ch, cw, 3) batches, so its
+        (expensive) compile is shared across every image shape and scale;
+        gather/scatter compile per shape but are trivial scan programs."""
         _, h, w, _ = img.shape
         ch, cw = self.crop_size
-        origins = _crop_grid(h, w, self.crop_size, self.strides)
-        crops = jnp.concatenate(
-            [jax.lax.dynamic_slice(img, (0, h0, w0, 0), (1, ch, cw, 3))
-             for h0, w0 in origins], axis=0)
+        origins = np.asarray(_crop_grid(h, w, self.crop_size, self.strides),
+                             np.int32)
+        crops = self._gather(img, origins)
+        n = crops.shape[0]
         if self.mesh is not None and np.prod(self.mesh.devices.shape) > 1:
             # shard the crop batch over the data mesh (pad to divisibility)
             from mscs_tpu.parallel.mesh import batch_sharding
             n_dev = int(np.prod(self.mesh.devices.shape))
-            n = crops.shape[0]
             pad = (-n) % n_dev
             if pad:
                 crops = jnp.concatenate(
@@ -141,23 +190,16 @@ class SlidingWindowTTA:
             crops = jax.device_put(crops, batch_sharding(self.mesh))
             preds = self._infer(crops)[:n]
         else:
-            preds = []
-            for i in range(0, len(origins), self.crop_chunk):
-                preds.append(self._infer(crops[i:i + self.crop_chunk]))
-            preds = jnp.concatenate(preds, axis=0)
-        out = jnp.zeros((1, h, w, self.num_classes), jnp.float32)
-        count = jnp.zeros((1, h, w, 1), jnp.float32)
-        ones = jnp.ones((1, ch, cw, 1), jnp.float32)
-        for k, (h0, w0) in enumerate(origins):
-            out = jax.lax.dynamic_update_slice(
-                out, jax.lax.dynamic_slice(
-                    out, (0, h0, w0, 0), (1, ch, cw, self.num_classes))
-                + preds[k:k + 1], (0, h0, w0, 0))
-            count = jax.lax.dynamic_update_slice(
-                count, jax.lax.dynamic_slice(count, (0, h0, w0, 0),
-                                             (1, ch, cw, 1)) + ones,
-                (0, h0, w0, 0))
-        return out / count
+            # fixed-size chunks: pad K up so the model compiles exactly once
+            chunk = min(self.crop_chunk, n)
+            pad = (-n) % chunk
+            if pad:
+                crops = jnp.concatenate(
+                    [crops, jnp.zeros((pad, ch, cw, 3), crops.dtype)], axis=0)
+            preds = jnp.concatenate(
+                [self._infer(crops[i:i + chunk])
+                 for i in range(0, n + pad, chunk)], axis=0)[:n]
+        return self._scatter(preds, origins, h, w)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (1, H, W, 3) normalised image -> (1, H, W, C) accumulated probs."""
