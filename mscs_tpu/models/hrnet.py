@@ -211,7 +211,12 @@ class HRNet(nn.Module):
     experiment: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False):
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 return_features: bool = False):
+        """``return_features=True`` returns ``(logits, stage4_branches)``
+        (strides 4/8/16/32) instead of projector features — the reference's
+        ``self.model.return_features = True`` t-SNE path
+        (ref ``models/HRNet.py:614-616``, ``managers/BaseManager.py:713-717``)."""
         cfg = self.config
         dataset = cfg["dataset"]
         align_corners = cfg.get("align_corners", True)
@@ -230,6 +235,8 @@ class HRNet(nn.Module):
                       name="cls_conv2")(h)
         logits = resize_bilinear(logits, in_hw, align_corners=align_corners)
 
+        if return_features:
+            return logits, scales
         if "ms_projector" in cfg:
             n_scales = cfg["ms_projector"].get("scales", 4)
             proj = Projector.from_config(

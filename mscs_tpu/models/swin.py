@@ -70,9 +70,12 @@ class WindowAttention(nn.Module):
     window_size: int
     num_heads: int
     qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None,
+                 train: bool = False) -> jnp.ndarray:
         """x: (num_windows*B, N, C); mask: (num_windows, N, N) or None."""
         bnw, n, c = x.shape
         ws = self.window_size
@@ -97,9 +100,13 @@ class WindowAttention(nn.Module):
             attn = attn + mask[None, :, None].astype(attn.dtype)
             attn = attn.reshape(bnw, self.num_heads, n, n)
         attn = nn.softmax(attn, axis=-1).astype(v.dtype)
+        attn = nn.Dropout(self.attn_drop, deterministic=not train,
+                          name="attn_drop")(attn)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(bnw, n, c)
-        return nn.Dense(c, name="proj")(out)
+        out = nn.Dense(c, name="proj")(out)
+        return nn.Dropout(self.proj_drop, deterministic=not train,
+                          name="proj_drop")(out)
 
 
 class SwinBlock(nn.Module):
@@ -110,6 +117,8 @@ class SwinBlock(nn.Module):
     mlp_ratio: float
     qkv_bias: bool
     drop_path: float
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -138,7 +147,9 @@ class SwinBlock(nn.Module):
         y = y.reshape(b, hp // ws, ws, wp // ws, ws, c)
         y = y.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
         y = WindowAttention(self.dim, ws, self.num_heads, self.qkv_bias,
-                            name="attn")(y, mask)
+                            attn_drop=self.attn_drop_rate,
+                            proj_drop=self.drop_rate,
+                            name="attn")(y, mask, train)
         y = y.reshape(b, hp // ws, wp // ws, ws, ws, c)
         y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)
         if shift > 0:
@@ -149,7 +160,11 @@ class SwinBlock(nn.Module):
         z = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         z = nn.Dense(int(c * self.mlp_ratio), name="mlp_fc1")(z)
         z = nn.gelu(z, approximate=False)
+        z = nn.Dropout(self.drop_rate, deterministic=not train,
+                       name="mlp_drop1")(z)
         z = nn.Dense(c, name="mlp_fc2")(z)
+        z = nn.Dropout(self.drop_rate, deterministic=not train,
+                       name="mlp_drop2")(z)
         return x + DropPath(self.drop_path, name="dp2")(z, train)
 
 
@@ -175,7 +190,11 @@ class SwinTransformer(nn.Module):
     window_size: int = 7
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.3
+    ape: bool = False  # absolute position embedding (ref Swin.py:547,589-597)
+    pretrain_img_size: int = 224
     patch_norm: bool = True
     out_indices: tuple = (0, 1, 2, 3)
     frozen_stages: int = -1
@@ -194,6 +213,19 @@ class SwinTransformer(nn.Module):
                     name="patch_embed")(x)
         if self.patch_norm:
             x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
+        if self.ape:
+            # ref Swin.py:589-597: trunc-normal (1,C,H0,W0) embed, bicubic
+            # resized to the feature grid and added after patch embed.  NHWC
+            # here; jax.image.resize's cubic path is weight-matrix matmuls.
+            g = self.pretrain_img_size // 4
+            pe = self.param("absolute_pos_embed",
+                            nn.initializers.truncated_normal(0.02),
+                            (1, g, g, x.shape[-1]))
+            pe = jax.image.resize(pe, (1, x.shape[1], x.shape[2], x.shape[3]),
+                                  method="bicubic")
+            x = x + pe.astype(x.dtype)
+        x = nn.Dropout(self.drop_rate, deterministic=not train,
+                       name="pos_drop")(x)
 
         total_depth = sum(depths)
         dpr = np.linspace(0, self.drop_path_rate, total_depth)
@@ -216,6 +248,8 @@ class SwinTransformer(nn.Module):
                     shift_size=0 if d % 2 == 0 else self.window_size // 2,
                     mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                     drop_path=float(dpr[blk_id]),
+                    drop_rate=self.drop_rate,
+                    attn_drop_rate=self.attn_drop_rate,
                     name=f"stage{stage}_block{d}")(x, train)
                 blk_id += 1
             if self.frozen_stages >= 2 and stage < self.frozen_stages - 1:

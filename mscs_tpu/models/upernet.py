@@ -72,7 +72,12 @@ class UPerNet(nn.Module):
     experiment: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False):
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 return_features: bool = False):
+        """``return_features=True`` returns ``(up_logits, backbone_feats)``
+        with feats ordered shallow-first [C2..C5] — the reference t-SNE path
+        indexes ``features[::-1][s]`` on its deep-first list
+        (ref ``managers/BaseManager.py:731-743``)."""
         cfg = self.config
         num_classes = num_real_classes(cfg["dataset"], self.experiment)
         align_corners = cfg.get("align_corners", True)
@@ -82,7 +87,11 @@ class UPerNet(nn.Module):
         if backbone_name.startswith("swin"):
             feats = SwinTransformer(
                 backbone_name,
+                drop_rate=cfg.get("drop_rate", 0.0),
+                attn_drop_rate=cfg.get("attn_drop_rate", 0.0),
                 drop_path_rate=cfg.get("drop_path_rate", 0.3),
+                ape=cfg.get("ape", False),
+                pretrain_img_size=cfg.get("pretrain_img_size", 224),
                 frozen_stages=cfg.get("frozen_stages", -1),
                 remat=cfg.get("use_checkpoint", False),
                 name="backbone")(x, train)
@@ -99,6 +108,8 @@ class UPerNet(nn.Module):
             align_corners, name="fpn")(feats, train)
         up_logits = resize_bilinear(logits, in_hw, align_corners=align_corners)
 
+        if return_features:
+            return up_logits, feats
         outputs = []
         if "aux_head" in cfg:
             idx = cfg["aux_head"]["in_index"]

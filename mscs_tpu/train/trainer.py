@@ -326,6 +326,27 @@ class Trainer:
             f"{k}={v:.4f}" for k, v in scalars.items()))
         return scalars
 
+    def _pad_to_bucket(self, image: np.ndarray, label: np.ndarray):
+        """Pad (N,H,W,C) image / (N,H,W) label up to the next multiple of
+        ``valid_shape_bucket`` so variable-shaped val sets (PascalC/ADE20K
+        min-side resize) hit a handful of jit compiles instead of one per
+        distinct shape.  Padded pixels carry the ignore id, so the confusion
+        matrix and every ignore-aware loss term exclude them exactly.
+        Returns (image, label, (orig_h, orig_w))."""
+        bucket = self.config.get(
+            "valid_shape_bucket",
+            128 if self.dataset in ("PASCALC", "ADE20K") else 0)
+        h, w = image.shape[1:3]
+        if not bucket:
+            return image, label, (h, w)
+        ph = (-h) % bucket
+        pw = (-w) % bucket
+        if ph or pw:
+            image = np.pad(image, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            label = np.pad(label, ((0, 0), (0, ph), (0, pw)),
+                           constant_values=self.num_classes)
+        return image, label, (h, w)
+
     def validate(self, epoch: int) -> dict[str, float]:
         cm = np.zeros((self.num_classes, self.num_classes), np.int64)
         limit = 3 if self.debugging else len(self.valid_loader)
@@ -334,9 +355,11 @@ class Trainer:
         for i, batch in enumerate(self.valid_loader):
             if i >= limit:
                 break
+            image, label, (oh, ow) = self._pad_to_bucket(
+                np.asarray(batch["image"]), np.asarray(batch["label"]))
             device_batch = {
-                "image": jnp.asarray(batch["image"]),
-                "label": jnp.asarray(batch["label"])}
+                "image": jnp.asarray(image),
+                "label": jnp.asarray(label)}
             logits, cm_b, loss_b = self.val_step(
                 self.state, device_batch,
                 jax.random.fold_in(self.rng, 7919 + i), epoch)
@@ -344,10 +367,11 @@ class Trainer:
             loss_sum += float(jax.device_get(loss_b))
             n_batches += 1
             if i == 0:
-                panel = (np.asarray(jax.device_get(device_batch["image"][0])),
+                panel = (np.asarray(
+                             jax.device_get(device_batch["image"][0]))[:oh, :ow],
                          np.asarray(batch["label"][0]),
                          np.asarray(jax.device_get(
-                             jnp.argmax(logits[0], axis=-1))))
+                             jnp.argmax(logits[0], axis=-1)))[:oh, :ow])
         mious = mean_iou(jnp.asarray(cm), self.dataset, self.experiment,
                          categories=True)
         pa, pac = pixel_accuracy(jnp.asarray(cm))
@@ -478,8 +502,12 @@ class Trainer:
         for i, batch in enumerate(self.valid_loader):
             if i >= limit:
                 break
-            img = jnp.asarray(batch["image"])
-            logits = tta(img) if tta else apply_jit(img)
+            if tta:
+                logits = tta(jnp.asarray(batch["image"]))
+            else:
+                image, _, (oh, ow) = self._pad_to_bucket(
+                    np.asarray(batch["image"]), np.asarray(batch["label"]))
+                logits = apply_jit(jnp.asarray(image))[:, :oh, :ow]
             logits = np.asarray(jax.device_get(logits))
             meta = (batch["metadata"][0] if batch.get("metadata") else None)
             logits, label = self.post_process_output(
@@ -525,9 +553,21 @@ class Trainer:
         scale = self.config.get("tsne_scale", 32) or 32
         mgr = TsneManager(self.dataset, self.experiment, scale=scale)
         state = self.state
+        # Reference semantics: t-SNE runs on BACKBONE stage features (the
+        # model's return_features=True path), selecting the stage whose
+        # stride matches tsne_scale (ref BaseManager.py:713-717, 731-757).
+        # HRNet/UPerNet support it here; other models fall back to projector
+        # features (the reference raises NotImplementedError for those).
+        model_name = self.config["graph"].get("model", "")
+        backbone_feats = model_name in ("HRNet", "UPerNet")
+        stage_idx = {4: 0, 8: 1, 16: 2, 32: 3}.get(scale, 3)
 
         @jax.jit
         def feats_vars(variables, image):
+            if backbone_feats:
+                _, feats = state.apply_fn(variables, image, train=False,
+                                          return_features=True)
+                return feats[stage_idx]
             outputs = state.apply_fn(variables, image, train=False)
             _, _, feats = split_outputs(outputs, self.has_interm,
                                         self.has_proj)

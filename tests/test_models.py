@@ -123,3 +123,57 @@ def test_swin_remat_matches_plain(rng_np):
     for a, b in zip(outs_p, outs_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_swin_ape_and_dropout_options():
+    """Reference surface: ape + drop_rate/attn_drop_rate (ref Swin.py:525-560,
+    589-597).  ape adds an interpolated absolute position embedding; dropout
+    options must change train-mode outputs but not eval-mode ones."""
+    x = jnp.ones((1, 32, 32, 3))
+    base = SwinTransformer("swinT", drop_path_rate=0.0)
+    ape = SwinTransformer("swinT", drop_path_rate=0.0, ape=True)
+    vb = base.init(jax.random.key(0), x, train=False)
+    va = ape.init(jax.random.key(0), x, train=False)
+    assert "absolute_pos_embed" in va["params"]
+    assert va["params"]["absolute_pos_embed"].shape == (1, 56, 56, 96)
+    out_b = base.apply(vb, x, train=False)
+    out_a = ape.apply(va, x, train=False)
+    assert out_a[0].shape == out_b[0].shape
+    assert not np.allclose(np.asarray(out_a[0]), np.asarray(out_b[0]))
+
+    drop = SwinTransformer("swinT", drop_path_rate=0.0, drop_rate=0.5,
+                           attn_drop_rate=0.25)
+    vd = drop.init(jax.random.key(0), x, train=False)
+    # eval: dropout inert, same params -> same output as base eval
+    e1 = drop.apply(vd, x, train=False)
+    e2 = base.apply(vd, x, train=False)
+    np.testing.assert_allclose(np.asarray(e1[0]), np.asarray(e2[0]), atol=1e-6)
+    # train: two dropout rngs -> different outputs
+    t1 = drop.apply(vd, x, train=True, rngs={"dropout": jax.random.key(1)})
+    t2 = drop.apply(vd, x, train=True, rngs={"dropout": jax.random.key(2)})
+    assert not np.allclose(np.asarray(t1[0]), np.asarray(t2[0]))
+
+
+def test_return_features_tsne_path():
+    """return_features=True returns backbone stage features shallow-first
+    (ref BaseManager.py:713-757 t-SNE protocol)."""
+    cfg = {"model": "HRNet", "dataset": "CITYSCAPES", "backbone": "hrnet18",
+           "align_corners": True,
+           "ms_projector": {"mlp": [[1, -1, 1]], "scales": 4, "d": 32,
+                            "use_bn": True}}
+    model = build_model(cfg, 1)
+    x = jnp.ones((1, 64, 64, 3))
+    variables = model.init(jax.random.key(0), x, train=False)
+    logits, feats = model.apply(variables, x, train=False,
+                                return_features=True)
+    assert logits.shape == (1, 64, 64, 19)
+    assert [f.shape[1] for f in feats] == [16, 8, 4, 2]       # strides 4..32
+    assert [f.shape[-1] for f in feats] == [18, 36, 72, 144]  # W18 widths
+
+    cfg2 = {"model": "UPerNet", "dataset": "ADE20K", "backbone": "swinT",
+            "align_corners": False, "drop_path_rate": 0.0}
+    model2 = build_model(cfg2, 1)
+    v2 = model2.init(jax.random.key(0), x, train=False)
+    logits2, feats2 = model2.apply(v2, x, train=False, return_features=True)
+    assert logits2.shape == (1, 64, 64, 150)
+    assert [f.shape[-1] for f in feats2] == [96, 192, 384, 768]

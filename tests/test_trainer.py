@@ -117,3 +117,36 @@ def test_trainer_demo_tsne_and_diagnostics(tmp_path):
     assert any(trainer.log_dir.glob("tsne_scale*.png"))
     trainer.run_diagnostic(n_images=1)
     assert any((trainer.log_dir / "diagnostics").glob("diag_*.png"))
+
+
+def test_validate_shape_bucketing(tmp_path):
+    """Padding to the shape bucket must not change metrics: padded pixels
+    carry the ignore id so the confusion matrix excludes them exactly."""
+    cfg = _tiny_config(tmp_path)
+    trainer = Trainer(cfg)
+    img = np.random.default_rng(0).normal(size=(1, 40, 52, 3)).astype(
+        np.float32)
+    lbl = np.random.default_rng(1).integers(
+        0, trainer.num_classes, size=(1, 40, 52))
+    cfg_bucket = dict(cfg)
+    cfg_bucket["valid_shape_bucket"] = 32
+    trainer.config = cfg_bucket
+    pimg, plbl, (oh, ow) = trainer._pad_to_bucket(img, lbl)
+    assert (oh, ow) == (40, 52)
+    assert pimg.shape[1:3] == (64, 64) and plbl.shape[1:3] == (64, 64)
+    assert (plbl[:, 40:, :] == trainer.num_classes).all()
+    assert (plbl[:, :, 52:] == trainer.num_classes).all()
+
+    from mscs_tpu.ops.metrics import confusion_matrix
+    import jax.numpy as jnp
+    import jax
+    cm_orig = np.asarray(jax.device_get(confusion_matrix(
+        jnp.asarray(lbl), jnp.asarray(lbl), trainer.num_classes)))
+    cm_pad = np.asarray(jax.device_get(confusion_matrix(
+        jnp.asarray(plbl), jnp.asarray(plbl), trainer.num_classes)))
+    np.testing.assert_array_equal(cm_orig, cm_pad)
+
+    # bucket off (CITYSCAPES default): passthrough
+    trainer.config = cfg
+    pimg2, plbl2, _ = trainer._pad_to_bucket(img, lbl)
+    assert pimg2.shape == img.shape and plbl2.shape == lbl.shape

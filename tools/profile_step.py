@@ -1,0 +1,134 @@
+"""Profile the flagship train step on the local chip and print top device ops.
+
+Runs the same setup as bench.py, captures a jax.profiler trace of a few
+steps, then parses the perfetto trace.json.gz for device-track events and
+aggregates device_duration by op name / fusion category.
+
+Usage:  python tools/profile_step.py [--fp32] [--steps N] [--out DIR]
+Only device durations from full-step traces are trustworthy on this host
+(PERF.md finding 4: sub-ms micro-benchmarks through the axon tunnel are
+tunnel-noise).
+"""
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_trace(out_dir: str, steps: int, fp32: bool, bs: int, hw: int):
+    import jax
+    from __graft_entry__ import (FLAGSHIP_GRAPH, FLAGSHIP_LOSS,
+                                 _build_train_setup, _setup_compile_cache)
+    _setup_compile_cache()
+    from mscs_tpu.parallel import make_mesh, replicate, shard_batch
+    if not fp32:
+        from mscs_tpu.models.layers import set_compute_dtype
+        set_compute_dtype("bfloat16")
+    n_chips = len(jax.devices())
+    batch = bs * n_chips
+    state, step, batch_data = _build_train_setup(
+        dict(FLAGSHIP_GRAPH), dict(FLAGSHIP_LOSS), batch=batch, hw=hw)
+    mesh = make_mesh()
+    state = replicate(mesh, state)
+    batch_data = shard_batch(mesh, batch_data)
+    step = jax.jit(step, donate_argnums=(0,))
+    rng = jax.random.key(0)
+    state, logs = step(state, batch_data, rng, 0)
+    jax.block_until_ready(logs["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(5):
+        state, logs = step(state, batch_data, rng, 0)
+    jax.block_until_ready(logs["loss"])
+    step_ms = (time.perf_counter() - t0) / 5 * 1000
+
+    jax.profiler.start_trace(out_dir)
+    for _ in range(steps):
+        state, logs = step(state, batch_data, rng, 0)
+    jax.block_until_ready(logs["loss"])
+    jax.profiler.stop_trace()
+    return step_ms, batch
+
+
+CATEGORIES = [
+    ("conv fwd", re.compile(r"^%?convolution")),
+    ("copy/transpose", re.compile(r"copy|transpose(?!.*fusion)")),
+    ("all-reduce", re.compile(r"all-reduce|reduce-scatter|all-gather")),
+    ("sort", re.compile(r"sort")),
+]
+
+
+def parse(out_dir: str, steps: int):
+    traces = glob.glob(os.path.join(
+        out_dir, "**", "*trace.json.gz"), recursive=True)
+    if not traces:
+        raise SystemExit(f"no trace.json.gz under {out_dir}")
+    path = max(traces, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+    events = data["traceEvents"]
+    # device tracks: pid whose process_name metadata mentions TPU/device
+    pid_name = {}
+    tid_name = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_name[e["pid"]] = e["args"].get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_name[(e["pid"], e["tid"])] = e["args"].get("name", "")
+    dev_pids = {p for p, n in pid_name.items()
+                if re.search(r"TPU|/device", n, re.I)}
+    agg = collections.Counter()
+    agg_ex = collections.Counter()
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        tname = tid_name.get((e["pid"], e["tid"]), "")
+        if "step" in tname.lower() or "XLA Modules" in tname:
+            continue  # container tracks double-count
+        dur = e.get("dur", 0) / 1000.0  # us -> ms
+        name = e.get("name", "?")
+        total += dur
+        # canonicalize: strip numeric suffixes so fusion.123 groups
+        base = re.sub(r"[.\d]+$", "", name)
+        agg[base] += dur
+        agg_ex[name] += dur
+    print(f"\ntrace: {path}")
+    print(f"total device time: {total:.1f} ms over {steps} steps "
+          f"=> {total / steps:.1f} ms/step")
+    print(f"\n== by op family (ms per step) ==")
+    for name, ms in agg.most_common(25):
+        print(f"  {ms / steps:8.2f}  {name}")
+    print(f"\n== top individual ops (ms per step) ==")
+    for name, ms in agg_ex.most_common(25):
+        print(f"  {ms / steps:8.2f}  {name}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--bs", type=int, default=8)
+    ap.add_argument("--hw", type=int, default=512)
+    ap.add_argument("--out", default="/tmp/mscs_profile")
+    ap.add_argument("--parse-only", action="store_true")
+    args = ap.parse_args()
+    if not args.parse_only:
+        step_ms, batch = run_trace(args.out, args.steps, args.fp32,
+                                   args.bs, args.hw)
+        print(f"steady-state: {step_ms:.1f} ms/step "
+              f"({batch / step_ms * 1000:.1f} img/s)")
+    parse(args.out, args.steps)
+
+
+if __name__ == "__main__":
+    main()
