@@ -52,7 +52,7 @@ def _pick_chunk(m: int, want: int) -> int:
 
 def _row_block_loss(fa_blk, la_blk, va_blk, ia_blk,
                     fb, lb, vb, ib, *,
-                    inv_temp, exclude_self, guard_zero_pos):
+                    inv_temp, exclude_self):
     """Loss contributions of a block of anchor rows vs all columns.
 
     Returns the summed per-row mean-log-prob-over-positives (only valid rows
@@ -70,17 +70,17 @@ def _row_block_loss(fa_blk, la_blk, va_blk, ia_blk,
     neg_sum = jnp.sum(ez * negf, axis=1, keepdims=True)
     log_prob = z - jnp.log(ez + neg_sum)
     p = jnp.sum(posf, axis=1)
-    # cross-scale guard (ref :148-152); for self-contrast the reference
-    # divides by P unguarded but valid rows always have P = V-1 >= 1 in
-    # shipped configs, so the guard only ever fires on masked rows.
-    del guard_zero_pos
+    # Zero-positive guard (ref :148-152 guards cross-scale; the self-
+    # contrast path divides by P unguarded, but its valid rows always have
+    # P = V-1 >= 1 in shipped configs — so one guarded form serves both,
+    # firing only on masked rows for self-contrast).
     denom = jnp.where(p > 0, p, 1.0)
     row_val = jnp.sum(posf * log_prob, axis=1) / denom
     return jnp.sum(jnp.where(va_blk, row_val, 0.0))
 
 
 def _masked_infonce_pair(fa, la, va, fb, lb, vb, *, temperature,
-                         exclude_self, guard_zero_pos, row_chunk):
+                         exclude_self, row_chunk):
     """Core: -(1/|valid rows|) * sum over valid rows of mean-pos log_prob."""
     m_a = fa.shape[0]
     fa = _l2_normalize(fa.astype(jnp.float32))
@@ -93,8 +93,7 @@ def _masked_infonce_pair(fa, la, va, fb, lb, vb, *, temperature,
     n_chunks = m_a // chunk
 
     body = partial(_row_block_loss, fb=fb, lb=lb, vb=vb, ib=ib,
-                   inv_temp=inv_temp, exclude_self=exclude_self,
-                   guard_zero_pos=guard_zero_pos)
+                   inv_temp=inv_temp, exclude_self=exclude_self)
     body = jax.checkpoint(body)
 
     if n_chunks == 1:
@@ -125,8 +124,7 @@ def masked_infonce(features: jnp.ndarray, labels: jnp.ndarray,
     """
     return _masked_infonce_pair(
         features, labels, valid, features, labels, valid,
-        temperature=temperature, exclude_self=True,
-        guard_zero_pos=False, row_chunk=row_chunk)
+        temperature=temperature, exclude_self=True, row_chunk=row_chunk)
 
 
 def masked_infonce_cross(features_a: jnp.ndarray, labels_a: jnp.ndarray,
@@ -140,5 +138,4 @@ def masked_infonce_cross(features_a: jnp.ndarray, labels_a: jnp.ndarray,
     row mean (ref :148-156)."""
     return _masked_infonce_pair(
         features_a, labels_a, valid_a, features_b, labels_b, valid_b,
-        temperature=temperature, exclude_self=False,
-        guard_zero_pos=True, row_chunk=row_chunk)
+        temperature=temperature, exclude_self=False, row_chunk=row_chunk)

@@ -59,14 +59,6 @@ def run_trace(out_dir: str, steps: int, fp32: bool, bs: int, hw: int):
     return step_ms, batch
 
 
-CATEGORIES = [
-    ("conv fwd", re.compile(r"^%?convolution")),
-    ("copy/transpose", re.compile(r"copy|transpose(?!.*fusion)")),
-    ("all-reduce", re.compile(r"all-reduce|reduce-scatter|all-gather")),
-    ("sort", re.compile(r"sort")),
-]
-
-
 def parse(out_dir: str, steps: int):
     traces = glob.glob(os.path.join(
         out_dir, "**", "*trace.json.gz"), recursive=True)
@@ -87,30 +79,58 @@ def parse(out_dir: str, steps: int):
     dev_pids = {p for p, n in pid_name.items()
                 if re.search(r"TPU|/device", n, re.I)}
     agg = collections.Counter()
-    agg_ex = collections.Counter()
-    total = 0.0
+    bycat = collections.Counter()
+    bymod = collections.Counter()
+    # conv-site efficiency: tf_op -> [ms, flops, n]
+    convs = collections.defaultdict(lambda: [0.0, 0, 0])
+    total, flops = 0.0, 0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
         tname = tid_name.get((e["pid"], e["tid"]), "")
         if "step" in tname.lower() or "XLA Modules" in tname:
             continue  # container tracks double-count
+        a = e.get("args") or {}
         dur = e.get("dur", 0) / 1000.0  # us -> ms
         name = e.get("name", "?")
         total += dur
-        # canonicalize: strip numeric suffixes so fusion.123 groups
-        base = re.sub(r"[.\d]+$", "", name)
-        agg[base] += dur
-        agg_ex[name] += dur
+        try:
+            flops += int(a.get("model_flops") or 0)
+        except (TypeError, ValueError):
+            pass
+        agg[re.sub(r"[.\d]+$", "", name)] += dur
+        bycat[a.get("hlo_category", "?")] += dur
+        top = str(a.get("tf_op", ""))
+        m = re.search(r"(jvp\(\w+\)|transpose\(jvp\(\w+\)\))/([\w.]+)", top)
+        bymod[(m.group(1) + "/" + m.group(2)) if m else top[:60]] += dur
+        if a.get("hlo_category") == "convolution fusion":
+            key = re.sub(r"_\d+|module\d+|block\d+|stage\d+", "",
+                         top.strip(": "))
+            convs[key][0] += dur
+            try:
+                convs[key][1] += int(a.get("model_flops") or 0)
+            except (TypeError, ValueError):
+                pass
+            convs[key][2] += 1
     print(f"\ntrace: {path}")
     print(f"total device time: {total:.1f} ms over {steps} steps "
-          f"=> {total / steps:.1f} ms/step")
-    print(f"\n== by op family (ms per step) ==")
-    for name, ms in agg.most_common(25):
+          f"=> {total / steps:.1f} ms/step; "
+          f"model flops {flops / 1e12:.2f} TF "
+          f"=> {flops / 1e9 / total:.1f} TF/s avg")
+    print("\n== by hlo_category (ms per step) ==")
+    for name, ms in bycat.most_common(12):
         print(f"  {ms / steps:8.2f}  {name}")
-    print(f"\n== top individual ops (ms per step) ==")
-    for name, ms in agg_ex.most_common(25):
+    print("\n== by op family (ms per step) ==")
+    for name, ms in agg.most_common(15):
         print(f"  {ms / steps:8.2f}  {name}")
+    print("\n== by module (ms per step) ==")
+    for name, ms in bymod.most_common(15):
+        print(f"  {ms / steps:8.2f}  {name}")
+    print("\n== conv sites (ms/step, effective TF/s) ==")
+    rows = sorted(convs.items(), key=lambda kv: -kv[1][0])
+    for k, (ms, fl, n) in rows[:20]:
+        tfs = fl / 1e9 / ms if ms else 0
+        print(f"  {ms / steps:8.2f} {tfs:6.1f} n={n:4d}  {k[:100]}")
 
 
 def main():
