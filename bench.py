@@ -43,6 +43,11 @@ def main():
         # bf16 activations are the blessed default (see module docstring)
         from mscs_tpu.models.layers import set_compute_dtype
         set_compute_dtype("bfloat16")
+    if os.environ.get("MSCS_MATMUL_PRECISION"):
+        # fp32-mode MXU passes: 'default' (1-pass bf16) / 'high' (3-pass,
+        # above A100-TF32 accuracy; this build's f32 default) / 'highest'
+        from mscs_tpu.models.layers import set_matmul_precision
+        set_matmul_precision(os.environ["MSCS_MATMUL_PRECISION"])
     n_chips = len(jax.devices())
     batch = 8 * n_chips  # bs/chip 8: +26% over 4 (PERF.md)
     hw = 512

@@ -43,12 +43,20 @@ def _lovasz_softmax_flat(prob: jnp.ndarray, lbl: jnp.ndarray,
         present = jnp.sum(fg, axis=1) > 0
         n = jnp.sum(present.astype(prob.dtype))
         return jnp.sum(jnp.where(present, per_class, 0.0)) / jnp.maximum(n, 1.0)
+    if not isinstance(classes, str):
+        # explicit class-id list (ref LovaszSoftmax.py:22,51): average the
+        # requested classes only, absent-or-not
+        sel = jnp.zeros((c,), bool).at[jnp.asarray(list(classes))].set(True)
+        n = jnp.sum(sel.astype(prob.dtype))
+        return jnp.sum(jnp.where(sel, per_class, 0.0)) / jnp.maximum(n, 1.0)
+    # 'all': every real class contributes, absent ones via the max-prob
+    # term the Jaccard grad [1, 0, ...] produces — same as the reference
     return jnp.mean(per_class)
 
 
 def lovasz_softmax(logits: jnp.ndarray, target: jnp.ndarray, *,
                    ignore_index: int | None = None,
-                   classes_to_consider: str = "present",
+                   classes_to_consider="present",
                    per_image: bool = False) -> jnp.ndarray:
     """:param logits: (N, H, W, C); :param target: (N, H, W) int."""
     prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import contextvars
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -39,6 +40,22 @@ def set_compute_dtype(dtype) -> None:
 
 def compute_dtype():
     return _COMPUTE_DTYPE.get()
+
+
+def set_matmul_precision(precision: str | None) -> None:
+    """MXU passes for float32 matmuls/convs — torch's ``allow_tf32`` dial,
+    the TPU way.  On TPU an f32 contraction is emulated in bf16 passes:
+    ``'default'`` ≈ 1 pass, ``'high'`` ≈ 3 passes (above A100-TF32
+    accuracy), ``'highest'`` ≈ 6 passes (full f32).  JAX's own default is
+    ``'default'`` — so the framework's "fp32 mode" numbers (f32 storage +
+    DEFAULT-precision convs) mirror what torch gives on an A100 with its
+    TF32-by-default convs; profile evidence: the 720-ch cls-head conv runs
+    at the same ~165 TF/s in fp32 and bf16 modes (PERF.md r2).  Set
+    ``train.matmul_precision: 'highest'`` for true-f32 contractions.
+    Irrelevant when activations are bf16 (the blessed default).  None
+    leaves the JAX default untouched."""
+    if precision:
+        jax.config.update("jax_default_matmul_precision", precision)
 
 
 def torch_bn_momentum(torch_momentum: float) -> float:

@@ -72,14 +72,14 @@ class Trainer:
         self.valid_writer = ScalarWriter(self.log_dir, "valid")
         self.checkpoints = CheckpointManager(self.log_dir)
 
-        # matmul precision: 'highest' (fp32, reference-faithful, default),
-        # 'high' (bf16_3x) or 'default' (bf16) for TPU-speed training
-        precision = config.get("train", {}).get("matmul_precision")
-        if precision:
-            jax.config.update("jax_default_matmul_precision", precision)
+        # matmul precision: 'highest' (full fp32), 'high' (bf16 3-pass,
+        # above A100-TF32 accuracy) or 'default' (1-pass bf16) — see
+        # layers.set_matmul_precision
+        from mscs_tpu.models.layers import (set_compute_dtype,
+                                            set_matmul_precision)
+        set_matmul_precision(config.get("train", {}).get("matmul_precision"))
         cdtype = config.get("train", {}).get("compute_dtype")
         if cdtype:
-            from mscs_tpu.models.layers import set_compute_dtype
             set_compute_dtype(cdtype)
         # persistent XLA compile cache: HRNet-class programs take minutes to
         # compile; cache across processes unless explicitly disabled

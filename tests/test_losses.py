@@ -60,7 +60,8 @@ def _torch_lovasz_oracle(logits, labels, ignore, classes="present"):
     keep = l != ignore
     p, l = p[keep], l[keep]
     losses = []
-    for cls in range(c):
+    class_ids = range(c) if isinstance(classes, str) else classes
+    for cls in class_ids:
         fg = (l == cls).float()
         if classes == "present" and fg.sum() == 0:
             continue
@@ -88,6 +89,21 @@ def test_lovasz_matches_oracle(classes, rng_np):
         torch.from_numpy(target).long(), ignore=c, classes=classes).item()
     got = lovasz_softmax(jnp.asarray(logits), jnp.asarray(target),
                          ignore_index=c, classes_to_consider=classes)
+    np.testing.assert_allclose(float(got), want, rtol=1e-4, atol=1e-6)
+
+
+def test_lovasz_class_list_mode(rng_np):
+    """classes_to_consider as an explicit class-id list
+    (ref LovaszSoftmax.py:22,51)."""
+    n, h, w, c = 1, 12, 12, 6
+    logits = rng_np.standard_normal((n, h, w, c)).astype(np.float32)
+    target = rng_np.integers(0, c, size=(n, h, w))
+    sel = [0, 2, 5]
+    want = _torch_lovasz_oracle(
+        torch.from_numpy(logits.transpose(0, 3, 1, 2)),
+        torch.from_numpy(target).long(), ignore=c, classes=sel).item()
+    got = lovasz_softmax(jnp.asarray(logits), jnp.asarray(target),
+                         ignore_index=c, classes_to_consider=sel)
     np.testing.assert_allclose(float(got), want, rtol=1e-4, atol=1e-6)
 
 
