@@ -59,6 +59,28 @@ class PadNP:
         return np.pad(arr, pad, mode=self.mode)
 
 
+class ExtRandomScale(BaseTransform):
+    """Log2-uniform paired scale jitter (ref utils/torch_transforms.py:8-30,
+    dormant there — only reachable from the legacy parser).  Unlike
+    RandomResize there is no aspect jitter and no pad-to-crop: scale is
+    2**U(log2(lo), log2(hi)), image BILINEAR / label NEAREST."""
+
+    def __init__(self, dataset, experiment, scale_range=(0.5, 2.0)):
+        super().__init__(dataset, experiment)
+        self.scale_range = scale_range
+
+    def __call__(self, arrs):
+        img, lbl, *meta = arrs
+        lo, hi = self.scale_range
+        scale = 2.0 ** random.uniform(math.log2(lo), math.log2(hi))
+        h, w = lbl.shape[:2]
+        new_size = (int(round(w * scale)), int(round(h * scale)))  # PIL (W,H)
+        img = np.asarray(Image.fromarray(img).resize(new_size, Image.BILINEAR))
+        lbl = np.asarray(Image.fromarray(lbl.astype(np.uint8))
+                         .resize(new_size, Image.NEAREST)).astype(lbl.dtype)
+        return (img, lbl, *meta)
+
+
 class RandomResize(BaseTransform):
     """Random scale+aspect jitter with random-position pad to crop shape
     (ref transforms.py:202-283)."""
@@ -429,6 +451,10 @@ def parse_transform_lists(transform_list: list[str],
             td["common"].append(RandomCropImgLbl(
                 **d, shape=transform_values["crop_shape"],
                 crop_class_max_ratio=transform_values.get("crop_class_max_ratio")))
+        elif t == "ext_random_scale":
+            td["common"].append(ExtRandomScale(
+                **d, scale_range=transform_values.get("scale_range",
+                                                      [0.5, 2.0])))
         elif t == "blur":
             td["img"].append(BlurPIL(**d, probability=0.05, kernel_limits=(3, 7)))
         elif t in ("colorjitter", "pseudo_colorjitter"):

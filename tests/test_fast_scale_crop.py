@@ -114,3 +114,45 @@ def test_scale_distribution_matches_reference_pair(rng_np):
                                  minlength=20)[:20]
     pf, ps = hist_fast / hist_fast.sum(), hist_slow / hist_slow.sum()
     assert np.abs(pf - ps).max() < 0.03  # same class-frequency distribution
+
+
+def test_ext_random_scale_and_df_builder(tmp_path):
+    """Dormant-extras parity: ExtRandomScale (log2-uniform paired jitter,
+    ref torch_transforms.py:8-30) + the CaDIS table builder
+    (ref df_from_data.py)."""
+    import numpy as np
+    from mscs_tpu.data.transforms import ExtRandomScale, parse_transform_lists
+    from mscs_tpu.data.df_builder import build_cadis_records, write_cadis_csv
+
+    t = ExtRandomScale("CADIS", 1, scale_range=(0.5, 2.0))
+    img = np.random.default_rng(0).integers(0, 255, (40, 60, 3),
+                                            dtype=np.uint8)
+    lbl = np.random.default_rng(1).integers(0, 8, (40, 60)).astype(np.int32)
+    np.random.seed(0)
+    out_img, out_lbl = t((img, lbl))
+    assert out_img.shape[:2] == out_lbl.shape
+    r = out_lbl.shape[0] / 40
+    assert 0.5 - 1e-6 <= r <= 2.0 + 1e-6
+    assert set(np.unique(out_lbl)) <= set(np.unique(lbl))  # NEAREST only
+
+    td = parse_transform_lists(["ext_random_scale"], {"scale_range": [0.9, 1.1]},
+                               "CADIS", 1)
+    assert any(isinstance(x, ExtRandomScale) for x in td["common"])
+
+    # df builder: fake CaDIS tree
+    for vid in ("Video01", "Video12"):
+        for sub in ("Images", "Labels"):
+            (tmp_path / vid / sub).mkdir(parents=True)
+        for i in range(2):
+            (tmp_path / vid / "Images" / f"frame{i}.png").touch()
+            (tmp_path / vid / "Labels" / f"frame{i}.png").touch()
+    records = build_cadis_records(tmp_path)
+    assert [r[0] for r in records] == [1, 1, 12, 12]
+    assert records[0][1] == "Video01/Images/frame0.png"
+    assert records[0][2] == "Video01/Labels/frame0.png"
+    out_csv = tmp_path / "data.csv"
+    write_cadis_csv(records, out_csv)
+    import pandas as pd
+    df = pd.read_csv(out_csv)
+    assert list(df.columns) == ["vid_num", "img_path", "lbl_path"]
+    assert len(df) == 4
