@@ -165,6 +165,14 @@ def get_cadis_dataframes(config: dict, csv_path="data/data.csv"):
     """Train/valid dataframes by video-ID splits (ref datasets/CaDIS.py:6-68)."""
     import pandas as pd
     df = pd.read_csv(csv_path)
+    # The reference filters valid frames on df['propagated']==0
+    # (datasets/CaDIS.py:34) but NEITHER of its shipped tables
+    # (data/data.csv, data/data.pkl) carries that column — the upstream
+    # path would KeyError.  Default missing columns to 0 so both the full
+    # metadata table and df_builder.py's minimal one load.
+    for col in ("propagated", "blacklisted"):
+        if col not in df.columns:
+            df[col] = 0
     splits = DATASETS_INFO["CADIS"].DATA_SPLITS[int(config["data"]["split"])]
     if len(splits) == 3:
         train_videos, valid_videos, test_videos = splits

@@ -28,8 +28,11 @@ def cross_entropy(logits: jnp.ndarray, target: jnp.ndarray, *,
     logits = logits.astype(jnp.float32)  # bf16-activation models
     logp = jax.nn.log_softmax(logits, axis=-1)
     tgt = target.astype(jnp.int32)
-    valid = tgt != ignore_index
-    tgt_safe = jnp.where(valid, jnp.clip(tgt, 0, c - 1), 0)
+    # out-of-range labels are excluded like the ignore id (torch would raise
+    # on them; they appear here only as eval-time bucket padding, which must
+    # contribute nothing — trainer._pad_to_bucket)
+    valid = (tgt != ignore_index) & (tgt >= 0) & (tgt < c)
+    tgt_safe = jnp.where(valid, tgt, 0)
     # one-hot multiply instead of take_along_axis: per-pixel gathers over the
     # class axis cost ~47 ms/step at 8x512x512x19 on TPU (profile-driven; the
     # same pathology as the confusion-matrix scatter)

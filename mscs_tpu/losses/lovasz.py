@@ -63,10 +63,11 @@ def lovasz_softmax(logits: jnp.ndarray, target: jnp.ndarray, *,
     c = prob.shape[-1]
     flat_p = prob.reshape(-1, c) if not per_image else prob.reshape(prob.shape[0], -1, c)
     flat_l = target.reshape(-1) if not per_image else target.reshape(target.shape[0], -1)
-    if ignore_index is None:
-        valid = jnp.ones(flat_l.shape, bool)
-    else:
-        valid = flat_l != ignore_index
+    # out-of-range labels (eval-time bucket padding) are always excluded;
+    # upstream never produces them, so in-range behaviour is unchanged
+    valid = (flat_l >= 0) & (flat_l < c)
+    if ignore_index is not None:
+        valid &= flat_l != ignore_index
     if per_image:
         fn = jax.vmap(lambda p, l, v: _lovasz_softmax_flat(p, l, v, classes_to_consider))
         return jnp.mean(fn(flat_p, flat_l, valid))

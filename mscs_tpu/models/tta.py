@@ -190,8 +190,10 @@ class SlidingWindowTTA:
             crops = jax.device_put(crops, batch_sharding(self.mesh))
             preds = self._infer(crops)[:n]
         else:
-            # fixed-size chunks: pad K up so the model compiles exactly once
-            chunk = min(self.crop_chunk, n)
+            # fixed-size chunks: always pad up to crop_chunk — a
+            # min(chunk, n) here would compile an extra model program per
+            # distinct small grid size, defeating the shared-compile design
+            chunk = self.crop_chunk
             pad = (-n) % chunk
             if pad:
                 crops = jnp.concatenate(

@@ -82,13 +82,14 @@ class Trainer:
         if cdtype:
             set_compute_dtype(cdtype)
         # persistent XLA compile cache: HRNet-class programs take minutes to
-        # compile; cache across processes unless explicitly disabled
-        cache_dir = config.get(
-            "compilation_cache_dir",
-            f"/tmp/jax_compile_cache_{jax.default_backend()}")
+        # compile; cache across processes unless explicitly disabled.
+        # config 'compilation_cache_dir': unset -> libtpu-build-keyed
+        # default; falsy -> disabled; a path -> that path.
+        cache_dir = config.get("compilation_cache_dir", "__default__")
         if cache_dir:
-            jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+            from mscs_tpu.utils.compile_cache import setup_compile_cache
+            setup_compile_cache(None if cache_dir == "__default__"
+                                else str(cache_dir))
 
         self.rng = jax.random.key(config.get("seed", 0))
         self.metrics: dict[str, Any] = {
@@ -254,13 +255,16 @@ class Trainer:
             self.loss_wrapper, self.num_classes,
             has_interm=self.has_interm, has_proj=self.has_proj),
             donate_argnums=(0,))
-        self.eval_step = jax.jit(make_eval_step(
-            self.num_classes, has_interm=self.has_interm,
-            has_proj=self.has_proj))
-        # eval + validation loss (for best_loss, ref valid_logging :213-291)
+        # eval + validation loss (for best_loss, ref valid_logging :213-291).
+        # Validation runs ungrouped: per_replica_anchors mirrors DDP's
+        # per-replica TRAIN pools, but the reference validates rank-0
+        # single-process (HRNet_Manager.py:148-156) and the valid batch
+        # (default 1) need not divide the device count.
+        val_lw_cfg = {k: v for k, v in lw_cfg.items() if k != "anchor_groups"}
         self.val_step = jax.jit(make_eval_step(
             self.num_classes, has_interm=self.has_interm,
-            has_proj=self.has_proj, loss_wrapper=self.loss_wrapper))
+            has_proj=self.has_proj,
+            loss_wrapper=LossWrapper.from_config(val_lw_cfg)))
         self.start_epoch = 0
 
         if cfg.get("load_checkpoint"):

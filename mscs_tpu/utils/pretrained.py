@@ -151,6 +151,16 @@ def load_pretrained_backbone(variables: dict, graph_cfg: dict,
     tmpl_p = variables["params"]["backbone"]
     if backbone.startswith("swin"):
         _resize_swin_bias_tables(converted, tmpl_p)
+        # ape=True models have an absolute_pos_embed the official
+        # checkpoints (trained with ape=False) lack; the reference loads
+        # strict=False and keeps it randomly initialised (Swin.py:674-716)
+        if ("absolute_pos_embed" in tmpl_p
+                and "absolute_pos_embed" not in converted["params"]):
+            converted["params"]["absolute_pos_embed"] = (
+                tmpl_p["absolute_pos_embed"])
+            printlog("WARNING: checkpoint has no absolute_pos_embed "
+                     "(ape=True model) — keeping random init, like the "
+                     "reference's strict=False load")
 
     got, want = _shapes(converted["params"]), _shapes(tmpl_p)
     if got != want:
