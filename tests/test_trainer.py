@@ -150,3 +150,15 @@ def test_validate_shape_bucketing(tmp_path):
     trainer.config = cfg
     pimg2, plbl2, _ = trainer._pad_to_bucket(img, lbl)
     assert pimg2.shape == img.shape and plbl2.shape == lbl.shape
+
+
+def test_per_replica_anchors_validation(tmp_path):
+    """Regression: per_replica_anchors groups the TRAIN loss by mesh size,
+    but validation (bs 1, like upstream's rank-0 eval) must run ungrouped —
+    the grouped wrapper used to assert on bs 1 % groups != 0."""
+    cfg = _tiny_config(tmp_path)
+    cfg["loss"]["per_replica_anchors"] = True
+    trainer = Trainer(cfg)
+    assert trainer.loss_wrapper is not None
+    metrics = trainer.train()  # includes validate() at valid_freq=1, bs 1
+    assert np.isfinite(metrics["best_loss"])

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--bs", type=int, default=8)
     ap.add_argument("--hw", type=int, default=512)
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--max-features", type=int, default=2048,
+                    help="cap on loss.max_features_total; pass 10000 for "
+                         "the exact paper configs")
     args = ap.parse_args()
 
     import jax
@@ -54,7 +57,7 @@ def main():
     graph = graph_config(cfg)
     lw_cfg = loss_config(cfg)
     lw_cfg["max_features_total"] = min(
-        lw_cfg.get("max_features_total", 2048), 2048)
+        lw_cfg.get("max_features_total", 2048), args.max_features)
     experiment = cfg["data"]["experiment"]
     n_cls = num_real_classes(cfg["data"]["dataset"], experiment)
 
