@@ -413,6 +413,18 @@ def _resident_spec():
     return pl.BlockSpec(memory_space=pltpu.VMEM)
 
 
+def _v2_compiler_params(m_resident: int, c_dim: int):
+    """The v2 design keeps the whole column set VMEM-resident; above
+    M≈8k the resident features alone exceed the DEFAULT 16 MB scoped-vmem
+    limit (paper configs run max_features_total=10000).  v5e/v4 have
+    128 MB VMEM per core — raise the cap to what the kernel actually
+    needs plus tile/scratch headroom."""
+    resident = m_resident * (c_dim + 8) * 4          # feats + 8 scalar cols
+    need = resident + (8 << 20)                      # tiles/scratch headroom
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=max(16 << 20, min(need, 100 << 20)))
+
+
 def _fwd_call_v2(fa, la, va, ia, fb, lb, vb, ib, *, inv_temp, exclude_self):
     m_a, c_dim = fa.shape
     m_b = fb.shape[0]
@@ -441,6 +453,7 @@ def _fwd_call_v2(fa, la, va, ia, fb, lb, vb, ib, *, inv_temp, exclude_self):
             flops=2 * 2 * m_a * m_b * c_dim,
             bytes_accessed=(m_a * 2 + m_b) * c_dim * 4,
             transcendentals=2 * m_a * m_b),
+        compiler_params=_v2_compiler_params(m_b, c_dim),
         interpret=_interpret(),
     )(fa, col(la), col(va), col(ia), fb, col(lb), col(vb), col(ib))
     l_row, ns, s, p = outs
@@ -525,6 +538,7 @@ def _bwd_call_v2(fa, la, va, ia, fb, lb, vb, ib, g, ns, s, p,
         out_specs=pl.BlockSpec((TILE, c_dim), lambda r: (r, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_a, c_dim), jnp.float32),
+        compiler_params=_v2_compiler_params(m_b, c_dim),
         interpret=_interpret(),
     )(fa, la2, va2, ia2, fb, lb2, vb2, ib2, g2, ns, s, p)
 
@@ -539,6 +553,7 @@ def _bwd_call_v2(fa, la, va, ia, fb, lb, vb, ib, g, ns, s, p,
         out_specs=pl.BlockSpec((TILE, c_dim), lambda r: (r, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_b, c_dim), jnp.float32),
+        compiler_params=_v2_compiler_params(m_a, c_dim),
         interpret=_interpret(),
     )(fb, lb2, vb2, ib2, fa, la2, va2, ia2, g2, ns, s, p)
     return dfa, dfb

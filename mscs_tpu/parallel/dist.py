@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from mscs_tpu.parallel.mesh import DATA_AXIS
 
@@ -94,7 +94,7 @@ def mesh_all_gather(mesh: Mesh, array):
         return concat_all_gather(x)
 
     # all_gather output is replicated by construction, but shard_map cannot
-    # infer that statically -> disable the value-replication check (check_rep)
+    # infer that statically -> disable the value-replication check (check_vma)
     fn = shard_map(body, mesh=mesh, in_specs=P(DATA_AXIS), out_specs=P(),
-                   check_rep=False)
+                   check_vma=False)
     return fn(array)

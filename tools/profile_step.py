@@ -24,7 +24,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_trace(out_dir: str, steps: int, fp32: bool, bs: int, hw: int):
+def run_trace(out_dir: str, steps: int, fp32: bool, bs: int, hw: int,
+              max_features: int | None = None):
     import jax
     from __graft_entry__ import (FLAGSHIP_GRAPH, FLAGSHIP_LOSS,
                                  _build_train_setup, _setup_compile_cache)
@@ -35,8 +36,11 @@ def run_trace(out_dir: str, steps: int, fp32: bool, bs: int, hw: int):
         set_compute_dtype("bfloat16")
     n_chips = len(jax.devices())
     batch = bs * n_chips
+    loss_cfg = dict(FLAGSHIP_LOSS)
+    if max_features:
+        loss_cfg["max_features_total"] = max_features
     state, step, batch_data = _build_train_setup(
-        dict(FLAGSHIP_GRAPH), dict(FLAGSHIP_LOSS), batch=batch, hw=hw)
+        dict(FLAGSHIP_GRAPH), loss_cfg, batch=batch, hw=hw)
     mesh = make_mesh()
     state = replicate(mesh, state)
     batch_data = shard_batch(mesh, batch_data)
@@ -140,11 +144,12 @@ def main():
     ap.add_argument("--bs", type=int, default=8)
     ap.add_argument("--hw", type=int, default=512)
     ap.add_argument("--out", default="/tmp/mscs_profile")
+    ap.add_argument("--max-features", type=int, default=None)
     ap.add_argument("--parse-only", action="store_true")
     args = ap.parse_args()
     if not args.parse_only:
         step_ms, batch = run_trace(args.out, args.steps, args.fp32,
-                                   args.bs, args.hw)
+                                   args.bs, args.hw, args.max_features)
         print(f"steady-state: {step_ms:.1f} ms/step "
               f"({batch / step_ms * 1000:.1f} img/s)")
     parse(args.out, args.steps)

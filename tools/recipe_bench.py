@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--max-features", type=int, default=2048,
                     help="cap on loss.max_features_total; pass 10000 for "
                          "the exact paper configs")
+    ap.add_argument("--infonce", choices=["xla", "pallas"], default=None,
+                    help="override loss.infonce_impl")
     args = ap.parse_args()
 
     import jax
@@ -58,6 +60,8 @@ def main():
     lw_cfg = loss_config(cfg)
     lw_cfg["max_features_total"] = min(
         lw_cfg.get("max_features_total", 2048), args.max_features)
+    if args.infonce:
+        lw_cfg["infonce_impl"] = args.infonce
     experiment = cfg["data"]["experiment"]
     n_cls = num_real_classes(cfg["data"]["dataset"], experiment)
 
