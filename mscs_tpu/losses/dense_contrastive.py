@@ -34,6 +34,9 @@ from mscs_tpu.ops.pallas_infonce import (
 from mscs_tpu.ops.resize import downsample_labels_nearest
 from mscs_tpu.ops.sampling import AnchorSample, sample_anchors
 
+# slot count at/above which 'auto' picks the Pallas InfoNCE engine
+_PALLAS_AUTO_M = 8192
+
 
 @dataclass(frozen=True)
 class DenseContrastiveLossV2:
@@ -46,7 +49,9 @@ class DenseContrastiveLossV2:
     max_features_total: int = 10000
     cross_scale_contrast: bool = False
     label_scaling_mode: str = "nn"
-    infonce_impl: str = "xla"  # 'xla' (streamed scan) | 'pallas' (fused kernel)
+    # 'auto' (measured crossover: pallas >= _PALLAS_AUTO_M slots, xla below)
+    # | 'xla' (streamed scan) | 'pallas' (fused VMEM-resident kernel)
+    infonce_impl: str = "auto"
 
     @classmethod
     def from_config(cls, config: dict[str, Any]) -> "DenseContrastiveLossV2":
@@ -59,12 +64,21 @@ class DenseContrastiveLossV2:
             max_features_total=config.get("max_features_total", 10000),
             cross_scale_contrast=config.get("cross_scale_contrast", False),
             label_scaling_mode=config.get("label_scaling_mode", "nn"),
-            infonce_impl=config.get("infonce_impl", "xla"),
+            infonce_impl=config.get("infonce_impl", "auto"),
         )
+
+    def _use_pallas(self) -> bool:
+        if self.infonce_impl == "auto":
+            # r2 measurement (PERF.md): at the paper's 10000-slot configs the
+            # fused-bwd Pallas engine wins (58.2 vs 56.5 img/s end-to-end);
+            # at <=2048 slots the two are within tunnel noise — keep the
+            # XLA engine there (golden values pin it).
+            return self.max_features_total >= _PALLAS_AUTO_M
+        return self.infonce_impl == "pallas"
 
     @property
     def _infonce(self):
-        return (masked_infonce_pallas if self.infonce_impl == "pallas"
+        return (masked_infonce_pallas if self._use_pallas()
                 else masked_infonce)
 
     @property
@@ -192,7 +206,7 @@ class DenseContrastiveLossV2_ms:
             high = anchor_sets[0]
 
             cross_fn = (masked_infonce_cross_pallas
-                        if self.scale_loss.infonce_impl == "pallas"
+                        if self.scale_loss._use_pallas()
                         else masked_infonce_cross)
 
             def cs(deep: AnchorSample) -> jnp.ndarray:

@@ -56,95 +56,6 @@ def _masks(la, va, ia, lb, vb, ib, exclude_self: bool):
 
 # --------------------------------------------------------------- forward ---
 
-def _fwd_kernel(fa_ref, la_ref, va_ref, ia_ref,
-                fb_ref, lb_ref, vb_ref, ib_ref,
-                out_l_ref, out_ns_ref, out_s_ref, out_p_ref,
-                acc_ns, acc_s, acc_num, acc_p,
-                *, inv_temp: float, exclude_self: bool, n_cols: int):
-    phase = pl.program_id(1)
-    c = pl.program_id(2)
-
-    z = jax.lax.dot_general(
-        fa_ref[:], fb_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * inv_temp
-    ez = jnp.exp(z)
-    pos, neg = _masks(la_ref[:], va_ref[:], ia_ref[:],
-                      lb_ref[:], vb_ref[:], ib_ref[:], exclude_self)
-
-    @pl.when((phase == 0) & (c == 0))
-    def _():
-        acc_ns[:] = jnp.zeros_like(acc_ns)
-        acc_p[:] = jnp.zeros_like(acc_p)
-
-    @pl.when(phase == 0)
-    def _():
-        acc_ns[:] += jnp.sum(ez * neg, axis=1, keepdims=True)
-        acc_p[:] += jnp.sum(pos, axis=1, keepdims=True)
-
-    @pl.when((phase == 1) & (c == 0))
-    def _():
-        acc_num[:] = jnp.zeros_like(acc_num)
-        acc_s[:] = jnp.zeros_like(acc_s)
-
-    @pl.when(phase == 1)
-    def _():
-        ns = acc_ns[:]
-        denom = ez + ns
-        acc_num[:] += jnp.sum(pos * (z - jnp.log(denom)), axis=1, keepdims=True)
-        acc_s[:] += jnp.sum(pos / denom, axis=1, keepdims=True)
-
-    @pl.when((phase == 1) & (c == n_cols - 1))
-    def _():
-        p = acc_p[:]
-        out_l_ref[:] = acc_num[:] / jnp.maximum(p, 1.0)
-        out_ns_ref[:] = acc_ns[:]
-        out_s_ref[:] = acc_s[:]
-        out_p_ref[:] = p
-
-
-def _fwd_call(fa, la, va, ia, fb, lb, vb, ib, *, inv_temp, exclude_self):
-    m_a, c_dim = fa.shape
-    m_b = fb.shape[0]
-    rows, cols = m_a // TILE, m_b // TILE
-
-    def col(x, dtype):
-        return x.reshape(-1, 1).astype(dtype)
-
-    grid = (rows, 2, cols)
-    kern = functools.partial(_fwd_kernel, inv_temp=inv_temp,
-                             exclude_self=exclude_self, n_cols=cols)
-    row_spec = pl.BlockSpec((TILE, 1), lambda r, p, c: (r, 0),
-                            memory_space=pltpu.VMEM)
-    col_spec = pl.BlockSpec((TILE, 1), lambda r, p, c: (c, 0),
-                            memory_space=pltpu.VMEM)
-    out_specs = [pl.BlockSpec((TILE, 1), lambda r, p, c: (r, 0),
-                              memory_space=pltpu.VMEM)] * 4
-    out_shape = [jax.ShapeDtypeStruct((m_a, 1), jnp.float32)] * 4
-    l_row, ns, s, p = pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((TILE, c_dim), lambda r, p, c: (r, 0),
-                         memory_space=pltpu.VMEM),
-            row_spec, row_spec, row_spec,
-            pl.BlockSpec((TILE, c_dim), lambda r, p, c: (c, 0),
-                         memory_space=pltpu.VMEM),
-            col_spec, col_spec, col_spec,
-        ],
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((TILE, 1), jnp.float32)] * 4,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * m_a * m_b * c_dim,
-            bytes_accessed=(m_a + m_b) * c_dim * 4 * 2,
-            transcendentals=2 * m_a * m_b),
-        interpret=_interpret(),
-    )(fa, col(la, jnp.int32), col(va, jnp.int32),
-      col(ia, jnp.int32), fb, col(lb, jnp.int32),
-      col(vb, jnp.int32), col(ib, jnp.int32))
-    return l_row[:, 0], ns, s, p
-
-
 # -------------------------------------------------------------- backward ---
 
 def _dz_tile(fa_t, fb_t, la, va, ia, lb, vb, ib, g, ns, s, p,
@@ -158,120 +69,6 @@ def _dz_tile(fa_t, fb_t, la, va, ia, lb, vb, ib, g, ns, s, p,
     dneg = -inv_p * s * ez
     return (pos * dpos + neg * dneg) * inv_temp
 
-
-def _bwd_da_kernel(fa_ref, la_ref, va_ref, ia_ref,
-                   fb_ref, lb_ref, vb_ref, ib_ref,
-                   g_ref, ns_ref, s_ref, p_ref, out_ref, acc,
-                   *, inv_temp, exclude_self, n_cols):
-    c = pl.program_id(1)
-
-    @pl.when(c == 0)
-    def _():
-        acc[:] = jnp.zeros_like(acc)
-
-    dz = _dz_tile(fa_ref[:], fb_ref[:], la_ref[:], va_ref[:], ia_ref[:],
-                  lb_ref[:], vb_ref[:], ib_ref[:], g_ref[:], ns_ref[:],
-                  s_ref[:], p_ref[:], inv_temp=inv_temp,
-                  exclude_self=exclude_self)
-    acc[:] += jnp.dot(dz, fb_ref[:], preferred_element_type=jnp.float32)
-
-    @pl.when(c == n_cols - 1)
-    def _():
-        out_ref[:] = acc[:]
-
-
-def _bwd_db_kernel(fa_ref, la_ref, va_ref, ia_ref,
-                   fb_ref, lb_ref, vb_ref, ib_ref,
-                   g_ref, ns_ref, s_ref, p_ref, out_ref, acc,
-                   *, inv_temp, exclude_self, n_rows):
-    r = pl.program_id(1)
-
-    @pl.when(r == 0)
-    def _():
-        acc[:] = jnp.zeros_like(acc)
-
-    dz = _dz_tile(fa_ref[:], fb_ref[:], la_ref[:], va_ref[:], ia_ref[:],
-                  lb_ref[:], vb_ref[:], ib_ref[:], g_ref[:], ns_ref[:],
-                  s_ref[:], p_ref[:], inv_temp=inv_temp,
-                  exclude_self=exclude_self)
-    acc[:] += jax.lax.dot_general(dz, fa_ref[:], (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-
-    @pl.when(r == n_rows - 1)
-    def _():
-        out_ref[:] = acc[:]
-
-
-def _bwd_call(fa, la, va, ia, fb, lb, vb, ib, g, ns, s, p,
-              *, inv_temp, exclude_self):
-    m_a, c_dim = fa.shape
-    m_b = fb.shape[0]
-    rows, cols = m_a // TILE, m_b // TILE
-
-    def col(x, dtype=jnp.float32):
-        return x.reshape(-1, 1).astype(dtype)
-
-    la2, va2, ia2 = col(la, jnp.int32), col(va, jnp.int32), col(ia, jnp.int32)
-    lb2, vb2, ib2 = col(lb, jnp.int32), col(vb, jnp.int32), col(ib, jnp.int32)
-    g2 = g.reshape(-1, 1).astype(jnp.float32)
-
-    row = lambda r, c: (r, 0)
-    colm = lambda r, c: (c, 0)
-    # dfa: grid (rows, cols), row-stationary accumulation over cols
-    dfa = pl.pallas_call(
-        functools.partial(_bwd_da_kernel, inv_temp=inv_temp,
-                          exclude_self=exclude_self, n_cols=cols),
-        grid=(rows, cols),
-        in_specs=[
-            pl.BlockSpec((TILE, c_dim), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, c_dim), colm, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), colm, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), colm, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), colm, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), row, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((TILE, c_dim), row, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_a, c_dim), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((TILE, c_dim), jnp.float32)],
-        interpret=_interpret(),
-    )(fa, la2, va2, ia2, fb, lb2, vb2, ib2, g2, ns, s, p)
-
-    # dfb: grid (cols, rows), col-stationary accumulation over rows
-    arow = lambda c, r: (r, 0)
-    acol = lambda c, r: (c, 0)
-    dfb = pl.pallas_call(
-        functools.partial(_bwd_db_kernel, inv_temp=inv_temp,
-                          exclude_self=exclude_self, n_rows=rows),
-        grid=(cols, rows),
-        in_specs=[
-            pl.BlockSpec((TILE, c_dim), arow, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), arow, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), arow, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), arow, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, c_dim), acol, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), acol, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), acol, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), acol, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), arow, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), arow, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), arow, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), arow, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((TILE, c_dim), acol, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_b, c_dim), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((TILE, c_dim), jnp.float32)],
-        interpret=_interpret(),
-    )(fa, la2, va2, ia2, fb, lb2, vb2, ib2, g2, ns, s, p)
-    return dfa, dfb
-
-
-# ------------------------------------------------------------ public API ---
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def _infonce_rows(fa, la, va, ia, fb, lb, vb, ib, inv_temp, exclude_self):
@@ -420,7 +217,11 @@ def _v2_compiler_params(m_resident: int, c_dim: int):
     128 MB VMEM per core — raise the cap to what the kernel actually
     needs plus tile/scratch headroom."""
     resident = m_resident * (c_dim + 8) * 4          # feats + 8 scalar cols
-    need = resident + (8 << 20)                      # tiles/scratch headroom
+    # Mosaic's stack accounting charges several times the resident bytes
+    # once chunk z/mask temporaries are included (measured 47.05 MB at
+    # M=10240, c=256, where resident = 10.3 MB); budget 4x + fixed
+    # headroom, capped under the 128 MB physical VMEM.
+    need = 4 * resident + (24 << 20)
     return pltpu.CompilerParams(
         vmem_limit_bytes=max(16 << 20, min(need, 100 << 20)))
 
@@ -460,10 +261,24 @@ def _fwd_call_v2(fa, la, va, ia, fb, lb, vb, ib, *, inv_temp, exclude_self):
     return l_row[:, 0], ns, s, p
 
 
-def _bwd_da_kernel_v2(fa_ref, la_ref, va_ref, ia_ref,
-                      fb_ref, lb_ref, vb_ref, ib_ref,
-                      g_ref, ns_ref, s_ref, p_ref, out_ref,
-                      *, inv_temp, exclude_self, m_b, chunk):
+def _bwd_dab_kernel_v2(fa_ref, la_ref, va_ref, ia_ref,
+                       fb_ref, lb_ref, vb_ref, ib_ref,
+                       g_ref, ns_ref, s_ref, p_ref,
+                       da_ref, db_ref,
+                       *, inv_temp, exclude_self, m_b, chunk):
+    """Fused backward: ONE pass over the z tiles yields BOTH gradients.
+
+    Grid iterates row tiles sequentially (TPU pallas grids are sequential
+    on a core), so ``db`` lives as a constant-index VMEM-resident output
+    accumulated across grid steps — da kernel + db kernel each recomputed
+    every z tile before; fusing removes one full M² z recompute and one
+    full M² mask/exp pass (25% fewer bwd MXU flops, half the VPU work)."""
+    r = pl.program_id(0)
+
+    @pl.when(r == 0)
+    def _():
+        db_ref[:] = jnp.zeros_like(db_ref)
+
     n_chunks = m_b // chunk
     fa = fa_ref[:]
     la, va, ia = la_ref[:], va_ref[:], ia_ref[:]
@@ -478,39 +293,13 @@ def _bwd_da_kernel_v2(fa_ref, la_ref, va_ref, ia_ref,
                       ib_ref[pl.ds(off, chunk), :],
                       g, ns, s, p, inv_temp=inv_temp,
                       exclude_self=exclude_self)
-        return acc + jnp.dot(dz, fb, preferred_element_type=jnp.float32)
-
-    out_ref[:] = jax.lax.fori_loop(
-        0, n_chunks, body, jnp.zeros(fa.shape, jnp.float32))
-
-
-def _bwd_db_kernel_v2(fb_ref, lb_ref, vb_ref, ib_ref,
-                      fa_ref, la_ref, va_ref, ia_ref,
-                      g_ref, ns_ref, s_ref, p_ref, out_ref,
-                      *, inv_temp, exclude_self, m_a, chunk):
-    n_chunks = m_a // chunk
-    fb = fb_ref[:]
-    lb, vb, ib = lb_ref[:], vb_ref[:], ib_ref[:]
-
-    def body(r, acc):
-        off = r * chunk
-        fa = fa_ref[pl.ds(off, chunk), :]
-        dz = _dz_tile(fa, fb,
-                      la_ref[pl.ds(off, chunk), :],
-                      va_ref[pl.ds(off, chunk), :],
-                      ia_ref[pl.ds(off, chunk), :],
-                      lb, vb, ib,
-                      g_ref[pl.ds(off, chunk), :],
-                      ns_ref[pl.ds(off, chunk), :],
-                      s_ref[pl.ds(off, chunk), :],
-                      p_ref[pl.ds(off, chunk), :],
-                      inv_temp=inv_temp, exclude_self=exclude_self)
-        return acc + jax.lax.dot_general(
+        db_ref[pl.ds(off, chunk), :] += jax.lax.dot_general(
             dz, fa, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+        return acc + jnp.dot(dz, fb, preferred_element_type=jnp.float32)
 
-    out_ref[:] = jax.lax.fori_loop(
-        0, n_chunks, body, jnp.zeros(fb.shape, jnp.float32))
+    da_ref[:] = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros(fa.shape, jnp.float32))
 
 
 def _bwd_call_v2(fa, la, va, ia, fb, lb, vb, ib, g, ns, s, p,
@@ -527,33 +316,25 @@ def _bwd_call_v2(fa, la, va, ia, fb, lb, vb, ib, g, ns, s, p,
     row = pl.BlockSpec((TILE, 1), lambda r: (r, 0), memory_space=pltpu.VMEM)
     res = _resident_spec()
 
-    dfa = pl.pallas_call(
-        functools.partial(_bwd_da_kernel_v2, inv_temp=inv_temp,
+    dfa, dfb = pl.pallas_call(
+        functools.partial(_bwd_dab_kernel_v2, inv_temp=inv_temp,
                           exclude_self=exclude_self, m_b=m_b,
                           chunk=_pick_chunk_v2(m_b)),
         grid=(m_a // TILE,),
         in_specs=[pl.BlockSpec((TILE, c_dim), lambda r: (r, 0),
                                memory_space=pltpu.VMEM),
                   row, row, row, res, res, res, res, row, row, row, row],
-        out_specs=pl.BlockSpec((TILE, c_dim), lambda r: (r, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_a, c_dim), jnp.float32),
-        compiler_params=_v2_compiler_params(m_b, c_dim),
+        out_specs=[pl.BlockSpec((TILE, c_dim), lambda r: (r, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((m_b, c_dim), lambda r: (0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((m_a, c_dim), jnp.float32),
+                   jax.ShapeDtypeStruct((m_b, c_dim), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * m_a * m_b * c_dim,
+            bytes_accessed=(m_a * 2 + m_b * 2) * c_dim * 4,
+            transcendentals=m_a * m_b),
+        compiler_params=_v2_compiler_params(2 * m_b, c_dim),
         interpret=_interpret(),
     )(fa, la2, va2, ia2, fb, lb2, vb2, ib2, g2, ns, s, p)
-
-    dfb = pl.pallas_call(
-        functools.partial(_bwd_db_kernel_v2, inv_temp=inv_temp,
-                          exclude_self=exclude_self, m_a=m_a,
-                          chunk=_pick_chunk_v2(m_a)),
-        grid=(m_b // TILE,),
-        in_specs=[pl.BlockSpec((TILE, c_dim), lambda r: (r, 0),
-                               memory_space=pltpu.VMEM),
-                  row, row, row, res, res, res, res, res, res, res, res],
-        out_specs=pl.BlockSpec((TILE, c_dim), lambda r: (r, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_b, c_dim), jnp.float32),
-        compiler_params=_v2_compiler_params(m_a, c_dim),
-        interpret=_interpret(),
-    )(fb, lb2, vb2, ib2, fa, la2, va2, ia2, g2, ns, s, p)
     return dfa, dfb
