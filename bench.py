@@ -5,7 +5,11 @@ Prints ONE JSON line:
 
 Metric: train images/sec/chip for the Cityscapes paper config
 (HRNet-W48 + CE + DC-ms-cs, 512x512 crops — reference trains 512x1024 on
-4xA100; per-chip normalisation keeps the comparison honest).
+4xA100; per-chip normalisation keeps the comparison honest).  The
+contrastive feature cap is 2048 to pair with the halved crop (the paper's
+10000 is an absolute cap over a 2x-larger crop); the exact-paper
+max_features_total=10000 numbers are measured in PERF.md (58.2 img/s/chip
+bf16 with the fused-bwd Pallas InfoNCE engine, 3.6x baseline).
 
 Baseline: the reference repo publishes no numbers (BASELINE.md). A
 representative torch DDP figure for HRNet-W48 + contrastive loss on A100 is
