@@ -68,3 +68,24 @@ def test_pallas_cross_gradients_match_xla(rng_np):
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gb_g), np.asarray(gb_w),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_cross_gradients_asymmetric_m(rng_np):
+    """Fused-bwd kernel with m_a != m_b and multiple row-tile grid steps:
+    db must accumulate correctly across grid iterations."""
+    fa, la, va = _anchors(rng_np, 512, 16, 5, 400)
+    fb, lb, vb = _anchors(rng_np, 256, 16, 5, 200)
+
+    def loss_xla(a, b):
+        return masked_infonce_cross(a, la, va, b, lb, vb, temperature=0.1)
+
+    def loss_pl(a, b):
+        return masked_infonce_cross_pallas(a, la, va, b, lb, vb,
+                                           temperature=0.1)
+
+    ga_w, gb_w = jax.grad(loss_xla, argnums=(0, 1))(fa, fb)
+    ga_g, gb_g = jax.grad(loss_pl, argnums=(0, 1))(fa, fb)
+    np.testing.assert_allclose(np.asarray(ga_g), np.asarray(ga_w),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gb_g), np.asarray(gb_w),
+                               rtol=1e-4, atol=1e-6)

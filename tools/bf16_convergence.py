@@ -38,7 +38,8 @@ def make_batches(n_distinct: int, bs: int, hw: int, seed: int = 0):
     return pool
 
 
-def run(compute_dtype: str, steps: int, bs: int, hw: int):
+def run(compute_dtype: str, steps: int, bs: int, hw: int,
+        max_features: int | None = None):
     from __graft_entry__ import (FLAGSHIP_GRAPH, FLAGSHIP_LOSS,
                                  _build_train_setup, _setup_compile_cache)
     from mscs_tpu.models.layers import set_compute_dtype
@@ -47,8 +48,11 @@ def run(compute_dtype: str, steps: int, bs: int, hw: int):
     _setup_compile_cache()
     set_compute_dtype(compute_dtype)
     try:
+        loss_cfg = dict(FLAGSHIP_LOSS)
+        if max_features:
+            loss_cfg["max_features_total"] = max_features
         state, step_fn, _ = _build_train_setup(
-            dict(FLAGSHIP_GRAPH), dict(FLAGSHIP_LOSS), batch=bs, hw=hw)
+            dict(FLAGSHIP_GRAPH), loss_cfg, batch=bs, hw=hw)
         step_fn = jax.jit(step_fn, donate_argnums=(0,))
         pool = make_batches(4, bs, hw)
         rng = jax.random.key(0)
@@ -77,22 +81,28 @@ def main():
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--bs", type=int, default=8)
     ap.add_argument("--hw", type=int, default=512)
+    ap.add_argument("--max-features", type=int, default=None,
+                    help="override loss.max_features_total (10000 = paper)")
+    ap.add_argument("--out", default="logs/bf16_convergence.json")
     args = ap.parse_args()
 
-    curve32, miou32 = run("float32", args.steps, args.bs, args.hw)
-    curve16, miou16 = run("bfloat16", args.steps, args.bs, args.hw)
+    curve32, miou32 = run("float32", args.steps, args.bs, args.hw,
+                          args.max_features)
+    curve16, miou16 = run("bfloat16", args.steps, args.bs, args.hw,
+                          args.max_features)
 
     l32 = np.array([c["loss"] for c in curve32])
     l16 = np.array([c["loss"] for c in curve16])
     summary = {
         "steps": args.steps, "bs": args.bs, "hw": args.hw,
+        "max_features": args.max_features,
         "final_loss_fp32": float(l32[-1]), "final_loss_bf16": float(l16[-1]),
         "final_loss_rel_gap": float(abs(l32[-1] - l16[-1]) / l32[-1]),
         "mean_traj_rel_gap": float(np.mean(np.abs(l32 - l16) / l32)),
         "final_train_miou_fp32": miou32, "final_train_miou_bf16": miou16,
     }
     os.makedirs("logs", exist_ok=True)
-    with open("logs/bf16_convergence.json", "w") as f:
+    with open(args.out, "w") as f:
         json.dump({"summary": summary, "fp32": curve32, "bf16": curve16},
                   f, indent=1)
     print(json.dumps(summary))
