@@ -24,6 +24,7 @@ from mscs_tpu.data.datasets_info import (
     remap_lookup,
     to_network_lookup,
 )
+from mscs_tpu.data.cache import DecodedCache
 from mscs_tpu.data.transforms import apply_transforms
 
 
@@ -52,14 +53,22 @@ def load_label(path) -> np.ndarray:
 
 
 class SegDataset:
-    """Base: list of (img_path, lbl_path) + remap + transforms."""
+    """Base: list of (img_path, lbl_path) + remap + transforms.
+
+    ``decoded_cache_dir``: serve decoded arrays from a write-through
+    ``data.cache.DecodedCache`` (skips PNG/JPEG decode after epoch 1 —
+    the dominant host cost on few-core machines; see data/cache.py).
+    """
 
     def __init__(self, dataset: str, experiment: int, transforms_dict,
-                 return_filename: bool = False):
+                 return_filename: bool = False,
+                 decoded_cache_dir: str | None = None):
         self.dataset = dataset
         self.experiment = experiment
         self.transforms_dict = transforms_dict
         self.return_filename = return_filename
+        self.decoded_cache = (DecodedCache(decoded_cache_dir)
+                              if decoded_cache_dir else None)
         self.records: list[tuple[Any, Any]] = []
         lut_exp = remap_lookup(dataset, experiment)
         lut_net = to_network_lookup(dataset, experiment)
@@ -76,15 +85,20 @@ class SegDataset:
             return self._lut[lbl]
         return self._lut[np.clip(lbl, 0, 255)]
 
+    def _load(self, path, decode_fn) -> np.ndarray:
+        if self.decoded_cache is not None:
+            return self.decoded_cache.get(path, lambda: decode_fn(path))
+        return decode_fn(path)
+
     def __getitem__(self, index: int):
         img_path, lbl_path = self.records[index]
-        img = load_image(img_path)
+        img = self._load(img_path, load_image)
         if lbl_path is None:  # test split: dummy labels (ref ADE20K.py:65-75)
             lbl = np.full(img.shape[:2],
                           num_all_classes(self.dataset, self.experiment) - 1,
                           np.int32)
         else:
-            lbl = self.remap(load_label(lbl_path))
+            lbl = self.remap(self._load(lbl_path, load_label))
         metadata = {"index": index}
         if self.return_filename:
             metadata["filename"] = str(img_path)

@@ -143,6 +143,15 @@ class Trainer:
 
         data_path = cfg.get("data_path")
         synthetic = cfg.get("synthetic_data", False) or data_path is None
+        # data.cache_decoded: true -> ~/.cache/mscs_tpu/decoded/<DATASET>,
+        # or a directory path string (see data/cache.py)
+        cache_cfg = dcfg.get("cache_decoded")
+        if cache_cfg:
+            from mscs_tpu.data.cache import default_cache_dir
+            cache_dir = (cache_cfg if isinstance(cache_cfg, str)
+                         else default_cache_dir(self.dataset))
+        else:
+            cache_dir = None
         # submission outputs are named by the source filename
         # (ref BaseManager.save_output :677-699 uses metadata filenames)
         return_fn = bool(cfg.get("save_outputs")
@@ -159,10 +168,12 @@ class Trainer:
         elif self.dataset == "CADIS":
             train_df, valid_df = get_cadis_dataframes(cfg)
             self.train_set = DatasetFromDF(train_df, data_path, tf_train,
-                                           self.experiment)
+                                           self.experiment,
+                                           decoded_cache_dir=cache_dir)
             self.valid_set = DatasetFromDF(valid_df, data_path, tf_val,
                                            self.experiment,
-                                           return_filename=return_fn)
+                                           return_filename=return_fn,
+                                           decoded_cache_dir=cache_dir)
             self._train_df = train_df
         else:
             ds_cls = DATASET_REGISTRY[self.dataset]
@@ -170,10 +181,12 @@ class Trainer:
             # debug mode trains on val/val (ref BaseManager.py:280-283)
             train_split = "val" if self.debugging else split
             self.train_set = ds_cls(data_path, tf_train, split=train_split,
-                                    experiment=self.experiment)
+                                    experiment=self.experiment,
+                                    decoded_cache_dir=cache_dir)
             self.valid_set = ds_cls(data_path, tf_val, split="val",
                                     experiment=self.experiment,
-                                    return_filename=return_fn)
+                                    return_filename=return_fn,
+                                    decoded_cache_dir=cache_dir)
 
         self.batch_size = dcfg.get("batch_size", 8)
         worker_type = dcfg.get("worker_type", "thread")

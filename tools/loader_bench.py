@@ -56,6 +56,9 @@ def main():
     ap.add_argument("--root", default=None)
     ap.add_argument("--worker-type", default="thread",
                     choices=["thread", "process"])
+    ap.add_argument("--cache", default=None,
+                    help="decoded-cache dir (data.cache_decoded); measure "
+                         "a warmed cache by running twice with the same dir")
     args = ap.parse_args()
 
     from mscs_tpu.data import DataLoader, parse_transform_lists
@@ -74,7 +77,8 @@ def main():
         {"crop_shape": [512, 512], "scale_range": [0.5, 2.0],
          "crop_class_max_ratio": 0.75},
         "CITYSCAPES", 1)
-    ds = Cityscapes(root, tf, split="train", experiment=1)
+    ds = Cityscapes(root, tf, split="train", experiment=1,
+                    decoded_cache_dir=args.cache)
     loader = DataLoader(ds, args.bs, shuffle=True, drop_last=True,
                         num_workers=args.workers, seed=0,
                         worker_type=args.worker_type)
@@ -99,6 +103,7 @@ def main():
         "value": round(rate, 1),
         "workers": args.workers,
         "worker_type": args.worker_type,
+        "cache": bool(args.cache),
         "host_cores": os.cpu_count(),
         "crop": [512, 512],
         "chip_consumption_fp32": 43.0,
