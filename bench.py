@@ -17,8 +17,10 @@ representative torch DDP figure for HRNet-W48 + contrastive loss on A100 is
 (half the pixels) that scales to ~16 img/s/GPU. vs_baseline = measured/16
 until a measured torch baseline exists.
 
-Round-2 default: bf16 activations / fp32 params+optimizer ("mixed precision
-the TPU way").  Blessed by a convergence-parity run (tools/bf16_convergence.py,
+Round-2 defaults: bf16 activations / fp32 params+optimizer ("mixed
+precision the TPU way") and train.steps_per_call=4 (K optimizer steps
+scanned per host dispatch, amortising tunnel dispatch latency — the
+production Trainer path; MSCS_STEPS_PER_CALL=1 for step-at-a-time).  Blessed by a convergence-parity run (tools/bf16_convergence.py,
 logs/bf16_convergence.json): 300 steps of the full recipe at 512², same init
 and batches — final train mIoU 0.933 (fp32) vs 0.940 (bf16), loss trajectory
 gap 2.2%.  Set MSCS_BENCH_FP32=1 for the reference-faithful fp32 number
@@ -59,8 +61,22 @@ def main():
         dict(FLAGSHIP_GRAPH), dict(FLAGSHIP_LOSS), batch=batch, hw=hw)
     mesh = make_mesh()
     state = replicate(mesh, state)
-    batch_data = shard_batch(mesh, batch_data)
-    step = jax.jit(step, donate_argnums=(0,))
+
+    # train.steps_per_call: scan K optimizer steps per host dispatch, the
+    # production Trainer path — amortises the ~3 ms/dispatch host->device
+    # tunnel latency (PERF.md r2 §dispatch: +3% at K=4).  K=1 reproduces the
+    # step-at-a-time number.
+    k = int(os.environ.get("MSCS_STEPS_PER_CALL", "4"))
+    if k > 1:
+        from mscs_tpu.parallel import shard_grouped_batch
+        from mscs_tpu.train import make_train_multistep
+        batch_data = shard_grouped_batch(
+            mesh, {n: np.stack([np.asarray(v)] * k)
+                   for n, v in batch_data.items()})
+        step = jax.jit(make_train_multistep(step), donate_argnums=(0,))
+    else:
+        batch_data = shard_batch(mesh, batch_data)
+        step = jax.jit(step, donate_argnums=(0,))
 
     rng = jax.random.key(0)
     # warmup / compile
@@ -74,7 +90,7 @@ def main():
     jax.block_until_ready(logs["loss"])
     dt = time.perf_counter() - t0
 
-    img_per_sec = batch * iters / dt
+    img_per_sec = batch * k * iters / dt
     per_chip = img_per_sec / n_chips
     print(json.dumps({
         "metric": "train_images_per_sec_per_chip_hrnetw48_mscs_512",

@@ -24,7 +24,7 @@ import jax
 import numpy as np
 
 from mscs_tpu.data.sampler import repeat_factor_indices, shuffled_indices
-from mscs_tpu.parallel.mesh import shard_batch
+from mscs_tpu.parallel.mesh import shard_batch, shard_grouped_batch
 
 _WORKER_DATASET = None
 
@@ -153,27 +153,53 @@ class DataLoader:
             yield {"image": imgs, "label": lbls, "metadata": metas}
 
 
-def device_prefetch(iterator, mesh, size: int = 2):
+def device_prefetch(iterator, mesh, size: int = 2, group: int = 1):
     """Move batches onto the mesh ahead of consumption (ref pin_memory +
-    non_blocking H2D, HRNet_Manager.py:100 — but overlapped, not synchronous)."""
+    non_blocking H2D, HRNet_Manager.py:100 — but overlapped, not synchronous).
+
+    ``group > 1`` (train.steps_per_call): stacks ``group`` host batches on a
+    new leading step axis and ships them in ONE transfer for a scanned
+    multi-step (axis 1 stays the device-sharded batch axis).  The trailing
+    partial group (fewer than ``group`` batches left) is emitted with a
+    shorter step axis.  Grouped batches carry ``"_steps"``; metadata becomes
+    a list of per-step metadata."""
     buf: collections.deque = collections.deque()
-
-    def put(batch):
-        arrays = {k: v for k, v in batch.items() if k != "metadata"}
-        device_batch = shard_batch(mesh, arrays)
-        device_batch["metadata"] = batch.get("metadata")
-        buf.append(device_batch)
-
     it = iter(iterator)
+
+    def pull():
+        if group <= 1:
+            batch = next(it)  # StopIteration ends the stream
+            arrays = {k: v for k, v in batch.items() if k != "metadata"}
+            device_batch = shard_batch(mesh, arrays)
+            device_batch["metadata"] = batch.get("metadata")
+            return device_batch
+        host = []
+        while len(host) < group:
+            try:
+                host.append(next(it))
+            except StopIteration:
+                break
+        if not host:
+            raise StopIteration
+        arrays = {k: np.stack([h[k] for h in host])
+                  for k in host[0] if k != "metadata"}
+        device_batch = shard_grouped_batch(mesh, arrays)
+        device_batch["metadata"] = [h.get("metadata") for h in host]
+        device_batch["_steps"] = len(host)
+        return device_batch
+
+    def put():
+        buf.append(pull())
+
     try:
         for _ in range(size):
-            put(next(it))
+            put()
     except StopIteration:
         pass
     while buf:
         out = buf.popleft()
         try:
-            put(next(it))
+            put()
         except StopIteration:
             pass
         yield out

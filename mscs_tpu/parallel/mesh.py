@@ -49,6 +49,13 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def shard_grouped_batch(mesh: Mesh, batch):
+    """Place a (steps, batch, ...) pytree: axis 0 is a ``lax.scan`` step axis
+    (train.steps_per_call), axis 1 is the device-sharded batch axis."""
+    sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
 def replicate(mesh: Mesh, tree):
     sh = replicated_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

@@ -3,6 +3,7 @@ from mscs_tpu.train.optim import build_optimizer
 from mscs_tpu.train.state import (
     TrainState,
     make_eval_step,
+    make_train_multistep,
     make_train_step,
     output_flags,
     split_outputs,
@@ -10,6 +11,6 @@ from mscs_tpu.train.state import (
 
 __all__ = [
     "convert_restarts_to_steps", "make_lr_schedule", "build_optimizer",
-    "TrainState", "make_eval_step", "make_train_step", "output_flags",
-    "split_outputs",
+    "TrainState", "make_eval_step", "make_train_multistep", "make_train_step",
+    "output_flags", "split_outputs",
 ]

@@ -46,6 +46,7 @@ from mscs_tpu.train.schedules import convert_restarts_to_steps, make_lr_schedule
 from mscs_tpu.train.state import (
     TrainState,
     make_eval_step,
+    make_train_multistep,
     make_train_step,
     output_flags,
 )
@@ -264,10 +265,19 @@ class Trainer:
             batch_stats=variables.get("batch_stats", {}), tx=tx)
         self.state = replicate(self.mesh, state)
 
-        self.train_step = jax.jit(make_train_step(
+        step_fn = make_train_step(
             self.loss_wrapper, self.num_classes,
-            has_interm=self.has_interm, has_proj=self.has_proj),
-            donate_argnums=(0,))
+            has_interm=self.has_interm, has_proj=self.has_proj)
+        self.train_step = jax.jit(step_fn, donate_argnums=(0,))
+        # train.steps_per_call > 1: scan K optimizer steps per host dispatch
+        # (amortised dispatch; per-step logs become K-window aggregates).
+        # Debug mode keeps K=1 — its 3-batch truncation and per-batch logs
+        # mirror the reference (HRNet_Manager.py:113-114).
+        self.steps_per_call = (1 if self.debugging else
+                               int(cfg["train"].get("steps_per_call", 1)))
+        self.train_multistep = (
+            jax.jit(make_train_multistep(step_fn), donate_argnums=(0,))
+            if self.steps_per_call > 1 else None)
         # eval + validation loss (for best_loss, ref valid_logging :213-291).
         # Validation runs ungrouped: per_replica_anchors mirrors DDP's
         # per-replica TRAIN pools, but the reference validates rank-0
@@ -303,7 +313,9 @@ class Trainer:
         profile_steps = self.config.get("profile_steps", 0)
         t0 = time.time()
         from mscs_tpu.data.loader import device_prefetch
-        prefetched = device_prefetch(loader, self.mesh, size=2)
+        group = self.steps_per_call
+        prefetched = device_prefetch(loader, self.mesh, size=2, group=group)
+        first_weight = 0
         for i, device_batch in enumerate(prefetched):
             if i >= limit:
                 break
@@ -315,24 +327,42 @@ class Trainer:
                 if i == 1 + profile_steps:
                     jax.profiler.stop_trace()
             device_batch.pop("metadata", None)
-            self.state, logs = self.train_step(
-                self.state, device_batch, self.rng, epoch)
-            for k, v in logs.items():
-                if k == "confusion":
-                    cm += np.asarray(jax.device_get(v), np.int64)
-                else:
-                    accum[k] = accum.get(k, 0.0) + float(jax.device_get(v))
-            seen += 1
+            weight = device_batch.pop("_steps", 1)
+            if group > 1 and weight == group:
+                results = [(self._run_step(self.train_multistep,
+                                           device_batch, epoch), weight)]
+            elif group > 1:
+                # trailing partial group: unstack the short step axis and
+                # reuse the single-step program — avoids compiling a second
+                # scan length for the epoch tail
+                results = [(self._run_step(
+                    self.train_step,
+                    {k: v[s] for k, v in device_batch.items()}, epoch), 1)
+                    for s in range(weight)]
+            else:
+                results = [(self._run_step(self.train_step, device_batch,
+                                           epoch), 1)]
+            for logs, w in results:
+                for k, v in logs.items():
+                    if k == "confusion":
+                        cm += np.asarray(jax.device_get(v), np.int64)
+                    else:
+                        # multistep returns window means; w restores sums
+                        accum[k] = (accum.get(k, 0.0)
+                                    + float(jax.device_get(v)) * w)
+            seen += weight
             if i == 0:
-                t0 = time.time()  # exclude the compile step from throughput
+                first_weight = weight
+                t0 = time.time()  # exclude the compile call from throughput
         dt = time.time() - t0
         scalars = {k: v / max(seen, 1) for k, v in accum.items()}
         scalars["lr"] = float(self.lr_schedule(
             int(jax.device_get(self.state.step)) - 1 if self.lr_batchwise
             else epoch))
-        # step 0 (compile) is excluded from the window, so `seen - 1` batches
-        # were timed; report 0 for 1-batch epochs instead of a fake number
-        timed = max(seen - 1, 0)
+        # the first dispatch (compile) is excluded from the window, so
+        # `seen - first_weight` steps were timed; report 0 for epochs that
+        # fit in one dispatch instead of a fake number
+        timed = max(seen - first_weight, 0)
         scalars["images_per_sec"] = (timed * self.batch_size / max(dt, 1e-9)
                                      if timed else 0.0)
         miou = mean_iou(jnp.asarray(cm), self.dataset, self.experiment)
@@ -342,6 +372,11 @@ class Trainer:
         printlog(f"epoch {epoch:03d} train: " + ", ".join(
             f"{k}={v:.4f}" for k, v in scalars.items()))
         return scalars
+
+    def _run_step(self, step_fn, device_batch, epoch):
+        """Advance ``self.state`` through one compiled dispatch; return logs."""
+        self.state, logs = step_fn(self.state, device_batch, self.rng, epoch)
+        return logs
 
     def _pad_to_bucket(self, image: np.ndarray, label: np.ndarray):
         """Pad (N,H,W,C) image / (N,H,W) label up to the next multiple of

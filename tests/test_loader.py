@@ -57,3 +57,24 @@ def test_drop_last():
     ld2 = DataLoader(ds, 4, shuffle=False, drop_last=False, num_workers=1,
                      process_index=0, process_count=1)
     assert len(ld2) == 3
+
+
+def test_device_prefetch_grouping():
+    """group>1 stacks K host batches on a new step axis (train.steps_per_call)
+    and emits the trailing partial group with its true shorter length."""
+    import jax
+
+    from mscs_tpu.data.loader import device_prefetch
+    from mscs_tpu.parallel import make_mesh
+
+    ds = _Toy(7)
+    ld = DataLoader(ds, 1, shuffle=False, num_workers=1,
+                    process_index=0, process_count=1)
+    mesh = make_mesh(jax.devices()[:1])
+    out = list(device_prefetch(iter(ld), mesh, size=2, group=3))
+    assert [b["_steps"] for b in out] == [3, 3, 1]
+    assert out[0]["image"].shape == (3, 1, 4, 4, 3)
+    # step axis preserves batch order
+    assert [int(v) for v in np.asarray(out[0]["label"])[:, 0, 0, 0]] == [0, 1, 2]
+    assert isinstance(out[0]["metadata"], list) and len(out[0]["metadata"]) == 3
+    assert out[2]["image"].shape[0] == 1

@@ -162,3 +162,28 @@ def test_per_replica_anchors_validation(tmp_path):
     assert trainer.loss_wrapper is not None
     metrics = trainer.train()  # includes validate() at valid_freq=1, bs 1
     assert np.isfinite(metrics["best_loss"])
+
+
+def test_trainer_steps_per_call_equivalence(tmp_path):
+    """train.steps_per_call=2 (scanned dispatches + unstacked partial tail)
+    advances the same trajectory as step-at-a-time: identical step count and
+    batch consumption, params equal up to compile-noise (Adam bounds the
+    amplification; see test_train_step.test_multistep_matches_sequential)."""
+    import jax
+
+    def cfg_with(k):
+        cfg = _tiny_config(tmp_path)
+        cfg["train"].update({"optim": "Adam", "learning_rate": 1e-4,
+                             "steps_per_call": k})
+        return cfg
+
+    t1 = Trainer(cfg_with(1))
+    s1 = t1.train_one_epoch(0)
+    t2 = Trainer(cfg_with(2))
+    s2 = t2.train_one_epoch(0)  # 3 batches -> one K=2 group + a partial of 1
+
+    assert int(np.asarray(t2.state.step)) == int(np.asarray(t1.state.step)) == 3
+    for a, b in zip(jax.tree.leaves(t1.state.params),
+                    jax.tree.leaves(t2.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+    np.testing.assert_allclose(s1["loss"], s2["loss"], rtol=0.05)
