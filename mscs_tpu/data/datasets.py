@@ -93,10 +93,9 @@ class SegDataset:
     def __getitem__(self, index: int):
         img_path, lbl_path = self.records[index]
         img = self._load(img_path, load_image)
-        if lbl_path is None:  # test split: dummy labels (ref ADE20K.py:65-75)
-            lbl = np.full(img.shape[:2],
-                          num_all_classes(self.dataset, self.experiment) - 1,
-                          np.int32)
+        if lbl_path is None:  # test split: dummy labels = remap(ones), the
+            # reference's exact dummy-target rule (ref ADE20K.py:103-104)
+            lbl = self.remap(np.ones(img.shape[:2], np.int32))
         else:
             lbl = self.remap(self._load(lbl_path, load_label))
         metadata = {"index": index}

@@ -162,9 +162,20 @@ def device_prefetch(iterator, mesh, size: int = 2, group: int = 1):
     multi-step (axis 1 stays the device-sharded batch axis).  The trailing
     partial group (fewer than ``group`` batches left) is emitted with a
     shorter step axis.  Grouped batches carry ``"_steps"``; metadata becomes
-    a list of per-step metadata."""
+    a list of per-step metadata.
+
+    Grouping stacks host batches, so shapes inside one group must agree.
+    The train loader guarantees this with ``drop_last=True``; for any other
+    source (e.g. a drop_last=False epoch tail) a batch whose shape differs
+    from the group's first is held back and flushed as the start of the
+    next (shorter) group instead of crashing np.stack (ADVICE r2)."""
     buf: collections.deque = collections.deque()
     it = iter(iterator)
+    held: list = []  # ragged-shape batch carried over to the next group
+
+    def _shape_sig(batch):
+        return tuple(sorted((k, np.shape(v)) for k, v in batch.items()
+                            if k != "metadata"))
 
     def pull():
         if group <= 1:
@@ -173,12 +184,17 @@ def device_prefetch(iterator, mesh, size: int = 2, group: int = 1):
             device_batch = shard_batch(mesh, arrays)
             device_batch["metadata"] = batch.get("metadata")
             return device_batch
-        host = []
+        host = list(held)
+        held.clear()
         while len(host) < group:
             try:
-                host.append(next(it))
+                nxt = next(it)
             except StopIteration:
                 break
+            if host and _shape_sig(nxt) != _shape_sig(host[0]):
+                held.append(nxt)  # flush current group early
+                break
+            host.append(nxt)
         if not host:
             raise StopIteration
         arrays = {k: np.stack([h[k] for h in host])

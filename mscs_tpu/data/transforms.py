@@ -310,7 +310,10 @@ class Resize(BaseTransform):
             lbl = np.pad(lbl, ((0, pad_rows), (0, pad_cols)),
                          constant_values=self.label_pad_value)
         if metadata is not None:
-            metadata["sh_sw_in_out"] = (hr, wr, (w, h), lbl.shape[::-1])
+            # output_shape mirrors the reference's img.shape[::-1] — a
+            # (C, W, H) 3-tuple (utils/transforms.py:194); only [-2]
+            # (input_size) is consumed downstream
+            metadata["sh_sw_in_out"] = (hr, wr, (w, h), img.shape[::-1])
             if self.fit_stride:
                 metadata["pw_ph_stride"] = (pad_cols, pad_rows, self.fit_stride)
             return img, lbl, metadata
@@ -473,6 +476,13 @@ def parse_transform_lists(transform_list: list[str],
 def apply_transforms(img: np.ndarray, lbl: np.ndarray,
                      transforms_dict: dict[str, list],
                      metadata: dict | None = None):
+    """Run the common/img/lbl transform pipelines on one record.
+
+    Contract: ``img``/``lbl`` may be READ-ONLY arrays (the decoded-record
+    cache serves epoch-2+ hits as read-only memmaps, data/cache.py).
+    Transforms must therefore never mutate their input in place — produce
+    new arrays (all shipped transforms copy).  A regression test pins this
+    (tests/test_decoded_cache.py)."""
     arrs = (img, lbl, metadata) if metadata is not None else (img, lbl)
     for t in transforms_dict["common"]:
         arrs = t(arrs)

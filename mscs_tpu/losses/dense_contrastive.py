@@ -28,11 +28,16 @@ import jax.numpy as jnp
 from mscs_tpu.data.datasets_info import num_all_classes
 from mscs_tpu.ops.infonce import masked_infonce, masked_infonce_cross
 from mscs_tpu.ops.pallas_infonce import (
+    fits_vmem,
     masked_infonce_cross_pallas,
     masked_infonce_pallas,
 )
 from mscs_tpu.ops.resize import downsample_labels_nearest
-from mscs_tpu.ops.sampling import AnchorSample, sample_anchors
+from mscs_tpu.ops.sampling import (
+    AnchorSample,
+    anchor_capacity,
+    sample_anchors,
+)
 
 # slot count at/above which 'auto' picks the Pallas InfoNCE engine
 _PALLAS_AUTO_M = 8192
@@ -67,18 +72,23 @@ class DenseContrastiveLossV2:
             infonce_impl=config.get("infonce_impl", "auto"),
         )
 
-    def _use_pallas(self) -> bool:
+    def _use_pallas(self, c_dim: int = 256) -> bool:
         if self.infonce_impl == "auto":
             # r2 measurement (PERF.md): at the paper's 10000-slot configs the
             # fused-bwd Pallas engine wins (58.2 vs 56.5 img/s end-to-end);
             # at <=2048 slots the two are within tunnel noise — keep the
-            # XLA engine there (golden values pin it).
-            return self.max_features_total >= _PALLAS_AUTO_M
+            # XLA engine there (golden values pin it).  'auto' additionally
+            # requires the VMEM-resident kernel to fit the compiler cap at
+            # this size (ADVICE r2: never auto-select an uncompilable
+            # kernel — very large max_features_total falls back to the
+            # streamed XLA path).
+            return (self.max_features_total >= _PALLAS_AUTO_M
+                    and fits_vmem(anchor_capacity(self.max_features_total),
+                                  c_dim))
         return self.infonce_impl == "pallas"
 
-    @property
-    def _infonce(self):
-        return (masked_infonce_pallas if self._use_pallas()
+    def _infonce_fn(self, c_dim: int):
+        return (masked_infonce_pallas if self._use_pallas(c_dim)
                 else masked_infonce)
 
     @property
@@ -108,8 +118,9 @@ class DenseContrastiveLossV2:
     def __call__(self, rng: jax.Array, label: jnp.ndarray,
                  features: jnp.ndarray):
         anchors = self.sample(rng, label, features)
-        loss = self._infonce(anchors.features, anchors.labels, anchors.valid,
-                             temperature=self.temperature)
+        loss = self._infonce_fn(features.shape[-1])(
+            anchors.features, anchors.labels, anchors.valid,
+            temperature=self.temperature)
         if self.cross_scale_contrast:
             return loss, anchors
         return loss
@@ -195,7 +206,7 @@ class DenseContrastiveLossV2_ms:
         anchor_sets: list[AnchorSample] = []
         for s in range(self.scales):
             anchors = self.scale_loss.sample(keys[s], label, features[s])
-            loss_s = self.scale_loss._infonce(
+            loss_s = self.scale_loss._infonce_fn(features[s].shape[-1])(
                 anchors.features, anchors.labels, anchors.valid,
                 temperature=self.scale_loss.temperature)
             loss = loss + self.weights[s] * loss_s
@@ -206,7 +217,8 @@ class DenseContrastiveLossV2_ms:
             high = anchor_sets[0]
 
             cross_fn = (masked_infonce_cross_pallas
-                        if self.scale_loss._use_pallas()
+                        if self.scale_loss._use_pallas(
+                            high.features.shape[-1])
                         else masked_infonce_cross)
 
             def cs(deep: AnchorSample) -> jnp.ndarray:

@@ -210,20 +210,40 @@ def _resident_spec():
     return pl.BlockSpec(memory_space=pltpu.VMEM)
 
 
+# Hard ceiling we are willing to hand Mosaic (below the 128 MB physical
+# VMEM per core to leave scratch/tile headroom).
+PALLAS_VMEM_CAP = 100 << 20
+
+
+def vmem_need_bytes(m_resident: int, c_dim: int) -> int:
+    """Estimated scoped-VMEM bytes the v2 kernel needs at column count
+    ``m_resident`` and feature dim ``c_dim`` (mirrors _v2_compiler_params)."""
+    resident = m_resident * (c_dim + 8) * 4          # feats + 8 scalar cols
+    # Mosaic's stack accounting charges several times the resident bytes
+    # once chunk z/mask temporaries are included (measured 47.05 MB at
+    # M=10240, c=256, where resident = 10.3 MB); budget 4x + fixed headroom.
+    return 4 * resident + (24 << 20)
+
+
+def fits_vmem(m_resident: int, c_dim: int) -> bool:
+    """True when the VMEM-resident kernel can compile at this size.
+
+    Used by DenseContrastiveLossV2._use_pallas so 'auto' never selects a
+    kernel that would fail compilation (falls back to the streamed XLA
+    path instead); roughly m_resident*(c_dim+8) <= 4.98M, i.e. M <= ~18.9k
+    at c=256."""
+    return vmem_need_bytes(m_resident, c_dim) <= PALLAS_VMEM_CAP
+
+
 def _v2_compiler_params(m_resident: int, c_dim: int):
     """The v2 design keeps the whole column set VMEM-resident; above
     M≈8k the resident features alone exceed the DEFAULT 16 MB scoped-vmem
     limit (paper configs run max_features_total=10000).  v5e/v4 have
     128 MB VMEM per core — raise the cap to what the kernel actually
     needs plus tile/scratch headroom."""
-    resident = m_resident * (c_dim + 8) * 4          # feats + 8 scalar cols
-    # Mosaic's stack accounting charges several times the resident bytes
-    # once chunk z/mask temporaries are included (measured 47.05 MB at
-    # M=10240, c=256, where resident = 10.3 MB); budget 4x + fixed
-    # headroom, capped under the 128 MB physical VMEM.
-    need = 4 * resident + (24 << 20)
+    need = vmem_need_bytes(m_resident, c_dim)
     return pltpu.CompilerParams(
-        vmem_limit_bytes=max(16 << 20, min(need, 100 << 20)))
+        vmem_limit_bytes=max(16 << 20, min(need, PALLAS_VMEM_CAP)))
 
 
 def _fwd_call_v2(fa, la, va, ia, fb, lb, vb, ib, *, inv_temp, exclude_self):

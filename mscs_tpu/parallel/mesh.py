@@ -43,19 +43,29 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _place(x, sh: NamedSharding):
+    """Single-host: device_put.  Multi-host: the local array is this
+    process's shard of the global batch (the loaders shard indices per
+    host), so assemble a global jax.Array from process-local data —
+    device_put cannot address other hosts' devices."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+    return jax.device_put(x, sh)
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place a host pytree of arrays with sharded leading axis."""
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(lambda x: _place(x, sh), batch)
 
 
 def shard_grouped_batch(mesh: Mesh, batch):
     """Place a (steps, batch, ...) pytree: axis 0 is a ``lax.scan`` step axis
     (train.steps_per_call), axis 1 is the device-sharded batch axis."""
     sh = NamedSharding(mesh, P(None, DATA_AXIS))
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(lambda x: _place(x, sh), batch)
 
 
 def replicate(mesh: Mesh, tree):
     sh = replicated_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree.map(lambda x: _place(x, sh), tree)

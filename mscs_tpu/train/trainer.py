@@ -162,12 +162,17 @@ class Trainer:
             n_train = 8 if self.debugging else dcfg.get("synthetic_length", 64)
             self.train_set = SyntheticDataset(self.dataset, self.experiment,
                                               tf_train, length=n_train, hw=hw)
+            # always the deterministic val transforms: falling back to the
+            # random train pipeline made validate() non-repeatable (and
+            # infer() disagree with the last validate on identical params)
             self.valid_set = SyntheticDataset(self.dataset, self.experiment,
-                                              tf_val if tf_val["common"] else tf_train,
-                                              length=4, hw=hw, seed=1,
+                                              tf_val, length=4, hw=hw, seed=1,
                                               return_filename=return_fn)
         elif self.dataset == "CADIS":
-            train_df, valid_df = get_cadis_dataframes(cfg)
+            # config 'cadis_csv' overrides the shipped metadata table
+            # (ref reads data/data.csv|pkl, datasets/CaDIS.py:20-30)
+            train_df, valid_df = get_cadis_dataframes(
+                cfg, cfg.get("cadis_csv", "data/data.csv"))
             self.train_set = DatasetFromDF(train_df, data_path, tf_train,
                                            self.experiment,
                                            decoded_cache_dir=cache_dir)
@@ -455,6 +460,7 @@ class Trainer:
                                     viz_dir / f"valid_e{epoch:03d}_cm.png")
 
         # best tracking + checkpointing (ref valid_logging :213-291)
+        self._last_val_loss = val_loss
         self.metrics["best_loss"] = min(self.metrics.get("best_loss",
                                                          float("inf")),
                                         val_loss)
@@ -474,24 +480,41 @@ class Trainer:
         cfg = self.config
         epochs = 1 if self.debugging else cfg["train"]["epochs"]
         valid_freq = cfg.get("valid_freq", 10)
-        for epoch in range(self.start_epoch, epochs):
-            # densify validation near the end (ref BaseManager.py:151-154)
-            vf = 1 if epoch >= 0.9 * epochs else valid_freq
-            self.train_one_epoch(epoch)
-            if (epoch + 1) % vf == 0 or epoch == epochs - 1:
-                self.validate(epoch)
-        self.checkpoints.save(self.state, epochs - 1,
-                              self.metrics["best_miou"], 0.0, tag="last")
-        self.write_info_json()
+        try:
+            for epoch in range(self.start_epoch, epochs):
+                # densify validation near the end (ref BaseManager.py:151-154)
+                vf = 1 if epoch >= 0.9 * epochs else valid_freq
+                self.train_one_epoch(epoch)
+                if (epoch + 1) % vf == 0 or epoch == epochs - 1:
+                    self.validate(epoch)
+            self.checkpoints.save(self.state, epochs - 1,
+                                  self.metrics["best_miou"],
+                                  getattr(self, "_last_val_loss", 0.0),
+                                  tag="last")
+            self.write_info_json()
+        finally:
+            self.close_loaders()
         return self.metrics
+
+    def close_loaders(self) -> None:
+        """Shut down loader worker pools (the process-pool variant would
+        otherwise leak workers across multi-run processes, ADVICE r2)."""
+        for name in ("train_loader", "rf_loader", "valid_loader"):
+            loader = getattr(self, name, None)
+            if loader is not None:
+                loader.close()
 
     # ------------------------------------------------------------- inference
     def post_process_output(self, logits: np.ndarray, label: np.ndarray,
                             metadata: dict | None):
         """Undo val-resize/pad via metadata (ref HRNet_Manager.py:56-80):
         strip fit-stride padding, resize logits back to the pre-resize shape,
-        and evaluate against the original labels when provided."""
-        if not metadata:
+        and evaluate against the original labels when provided.  Applied for
+        PASCALC/ADE20K only, exactly as upstream gates it (:57) — a
+        CITYSCAPES/CADIS run with resize_val metadata evaluates at the
+        resized/padded resolution like the reference does."""
+        if not metadata or self.config["data"]["dataset"] not in (
+                "PASCALC", "ADE20K"):
             return logits, label
         if "pw_ph_stride" in metadata:
             pw, ph, stride = metadata["pw_ph_stride"]

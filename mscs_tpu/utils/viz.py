@@ -25,15 +25,21 @@ def get_colormap(dataset: str) -> np.ndarray:
 
 
 def reverse_mapping(dataset: str, experiment: int) -> np.ndarray:
-    """network id -> raw dataset id (first raw id of each remap entry), for
-    submission PNGs (ref utils.py:521-532 + save_output)."""
+    """network id -> raw dataset id for submission PNGs, matching the
+    upstream composition exactly (utils.py:521-532 reverse_mapping +
+    :104-127 remap_mask): the ignore network id maps to 255 (the 255-keyed
+    remap group is skipped, and remap_mask's lookup defaults to the ignore
+    label), and a train id merging several raw ids takes the LAST raw id
+    (successive remap_array writes).  Oracle-pinned in
+    tests/test_fake_trees.py::test_submission_remap_matches_reference."""
     remap = DATASETS_INFO[dataset].CLASS_INFO[experiment][0]
     n = num_all_classes(dataset, experiment)
-    lut = np.zeros((n,), np.int32)
+    lut = np.full((n,), 255, np.int32)
     for train_id, raw_ids in remap.items():
-        t = n - 1 if train_id == 255 else train_id
-        if 0 <= t < n:
-            lut[t] = raw_ids[0] if raw_ids else 0
+        if train_id == 255:
+            continue
+        if 0 <= train_id < n and raw_ids:
+            lut[train_id] = raw_ids[-1]
     return lut
 
 

@@ -38,9 +38,26 @@ def _ensure_stub_modules() -> None:
         def __init__(self, *a, **k):
             raise RuntimeError("torchvision stub: not implemented for tests")
 
-    for name in ["RandomCrop", "ToTensor", "ToPILImage", "Compose",
+    for name in ["RandomCrop", "ToPILImage", "Compose",
                  "ColorJitter", "Normalize", "RandomApply"]:
         setattr(transforms, name, type(name, (_Unavailable,), {}))
+
+    class ToTensor:
+        """Functional mini-implementation of torchvision.ToTensor: PIL/np
+        HWC -> torch CHW; uint8 scaled to [0,1], int32 ('I' mode) kept —
+        the semantics the reference Resize metadata path relies on
+        (utils/transforms.py:176)."""
+
+        def __call__(self, pic):
+            import numpy as np
+            arr = np.array(pic)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            t = torch.from_numpy(np.ascontiguousarray(
+                arr.transpose(2, 0, 1)))
+            return t.float().div(255) if t.dtype == torch.uint8 else t
+
+    transforms.ToTensor = ToTensor
     tfunc.crop = _Unavailable
     transforms.functional = tfunc
 

@@ -84,6 +84,28 @@ def test_cache_invalidates_on_source_change(tmp_path):
     assert len(decodes) == 2
 
 
+def test_transforms_accept_readonly_inputs():
+    """Epoch-2+ cache hits are read-only memmaps; every shipped transform
+    must copy rather than mutate in place (contract documented on
+    apply_transforms).  Runs the full train pipeline on read-only arrays —
+    an in-place transform would raise 'assignment destination is
+    read-only' here."""
+    from mscs_tpu.data.transforms import (apply_transforms,
+                                          parse_transform_lists)
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (48, 96, 3), np.uint8)
+    lbl = rng.integers(0, 20, (48, 96), np.uint8)
+    img.setflags(write=False)
+    lbl.setflags(write=False)
+    td = parse_transform_lists(
+        ["flip", "random_scale", "RandomCropImgLbl", "colorjitter", "blur",
+         "torchvision_normalise"],
+        {"crop_shape": [32, 32], "scale_range": [0.5, 2.0],
+         "crop_class_max_ratio": 0.75}, "CITYSCAPES", 1)
+    out_img, out_lbl, _ = apply_transforms(img, lbl, td, {"index": 0})
+    assert out_img.shape[:2] == (32, 32) and out_lbl.shape == (32, 32)
+
+
 def test_cache_survives_corrupt_entry(tmp_path):
     cache = DecodedCache(str(tmp_path / "cache"))
     src = tmp_path / "y.bin"

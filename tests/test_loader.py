@@ -78,3 +78,25 @@ def test_device_prefetch_grouping():
     assert [int(v) for v in np.asarray(out[0]["label"])[:, 0, 0, 0]] == [0, 1, 2]
     assert isinstance(out[0]["metadata"], list) and len(out[0]["metadata"]) == 3
     assert out[2]["image"].shape[0] == 1
+
+
+def test_device_prefetch_group_flushes_on_ragged_shapes():
+    """A drop_last=False epoch tail (short final batch) inside a group must
+    flush the group early instead of crashing np.stack (ADVICE r2)."""
+    import jax
+
+    from mscs_tpu.data.loader import device_prefetch
+    from mscs_tpu.parallel import make_mesh
+
+    ds = _Toy(7)
+    ld = DataLoader(ds, 2, shuffle=False, drop_last=False, num_workers=1,
+                    process_index=0, process_count=1)  # batches: 2,2,2,1
+    mesh = make_mesh(jax.devices()[:1])
+    out = list(device_prefetch(iter(ld), mesh, size=2, group=3))
+    # group of three bs-2 batches, then the ragged bs-1 tail alone
+    assert [b["_steps"] for b in out] == [3, 1]
+    assert out[0]["image"].shape == (3, 2, 4, 4, 3)
+    assert out[1]["image"].shape == (1, 1, 4, 4, 3)
+    seen = [int(v) for b in out
+            for v in np.asarray(b["label"]).reshape(-1, 16)[:, 0]]
+    assert seen == list(range(7))

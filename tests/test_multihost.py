@@ -1,0 +1,44 @@
+"""Two-process multi-host CPU smoke (VERDICT r2 #7).
+
+Spawns 2 subprocesses, each with 4 virtual CPU devices, rendezvousing via
+``jax.distributed.initialize`` on a local port — the reference's most-used
+code path (DDP spawn, BaseManager.py:106-145) exercised end-to-end for the
+sharded-jit design: global 8-device mesh across processes, per-host loader
+shards, global-batch train steps, and the dist helpers.
+"""
+import os
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RUNNER = os.path.join(REPO, "tests", "_multihost_runner.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_multihost_smoke():
+    port = _free_port()
+    env = dict(os.environ, PYTHONPATH=REPO)
+    env.pop("JAX_PLATFORMS", None)  # runner forces cpu via jax.config
+    env.pop("XLA_FLAGS", None)      # runner sets its own device count
+    procs = [subprocess.Popen(
+        [sys.executable, RUNNER, str(i), "2", str(port)], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} rc={p.returncode}\n{out[-4000:]}"
+        assert f"MULTIHOST OK proc={i}" in out, out[-2000:]

@@ -89,3 +89,29 @@ def test_pallas_cross_gradients_asymmetric_m(rng_np):
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gb_g), np.asarray(gb_w),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_auto_impl_never_selects_uncompilable_kernel():
+    """'auto' must fall back to the streamed XLA path when the VMEM-resident
+    kernel cannot fit the compiler cap at this size (ADVICE r2): a huge
+    max_features_total previously auto-selected Pallas and failed to
+    compile."""
+    from mscs_tpu.losses.dense_contrastive import DenseContrastiveLossV2
+    from mscs_tpu.ops.infonce import masked_infonce as xla_fn
+    from mscs_tpu.ops.pallas_infonce import fits_vmem
+
+    mk = lambda mft: DenseContrastiveLossV2(
+        dataset="CITYSCAPES", experiment=1, max_features_total=mft)
+    # paper scale: fits, auto -> pallas
+    assert fits_vmem(10240, 256)
+    assert mk(10000)._use_pallas(256)
+    # far beyond the cap: must NOT pick pallas
+    assert not fits_vmem(65536, 256)
+    big = mk(65536)
+    assert not big._use_pallas(256)
+    assert big._infonce_fn(256) is xla_fn
+    # explicit 'pallas' request is honoured (user override)
+    explicit = DenseContrastiveLossV2(
+        dataset="CITYSCAPES", experiment=1, max_features_total=65536,
+        infonce_impl="pallas")
+    assert explicit._use_pallas(256)

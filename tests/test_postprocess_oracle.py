@@ -1,0 +1,121 @@
+"""Eval metadata protocol parity vs the imported upstream implementation.
+
+VERDICT r2 weak #2: the val-resize metadata protocol (Resize ->
+``sh_sw_in_out``/``pw_ph_stride``/``original_labels`` ->
+``post_process_output`` un-pad/un-resize) had only been tested through this
+framework.  Here both halves run against the upstream oracle:
+
+1. the reference ``utils.transforms.Resize`` and this framework's
+   ``data.transforms.Resize`` transform the SAME record and must produce
+   identical resized/padded arrays and metadata;
+2. the reference ``HRNet_Manager.post_process_output`` (imported, run with
+   a stub manager self) and ``Trainer.post_process_output`` consume the
+   SAME logits + metadata and must produce identical un-padded, un-resized
+   outputs and restored labels.
+"""
+import types
+
+import numpy as np
+import pytest
+
+import torch
+
+from tests._reference_oracle import import_reference_module, requires_reference
+
+
+@pytest.fixture(autouse=True)
+def _cpu_cuda(monkeypatch):
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+
+
+def _record(rng, h, w):
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+    lbl = rng.integers(0, 59, (h, w)).astype(np.int32)
+    return img, lbl
+
+
+@requires_reference
+@pytest.mark.parametrize("h,w", [(123, 187), (200, 160)])
+def test_resize_metadata_protocol_matches_reference(h, w):
+    ref_tf = import_reference_module("utils.transforms")
+    from mscs_tpu.data.transforms import Resize
+
+    rng = np.random.default_rng(h)
+    img, lbl = _record(rng, h, w)
+
+    r = ref_tf.Resize("PASCALC", 1, min_side_length=160, fit_stride=32,
+                      return_original_labels=True)
+    r_img, r_lbl, r_meta = r((img.copy(), lbl.copy(), {}))
+
+    o = Resize("PASCALC", 1, min_side_length=160, fit_stride=32,
+               return_original_labels=True)
+    o_img, o_lbl, o_meta = o((img.copy(), lbl.copy(), {}))
+
+    np.testing.assert_array_equal(np.asarray(r_img), o_img)
+    np.testing.assert_array_equal(np.asarray(r_lbl), o_lbl)
+    assert r_meta["sh_sw_in_out"] == tuple(o_meta["sh_sw_in_out"])
+    assert r_meta["pw_ph_stride"] == tuple(o_meta["pw_ph_stride"])
+    np.testing.assert_array_equal(
+        np.asarray(r_meta["original_labels"]).squeeze(),
+        np.asarray(o_meta["original_labels"]).squeeze())
+
+
+@requires_reference
+@pytest.mark.parametrize("h,w", [(123, 187), (160, 224)])
+def test_post_process_output_matches_reference(h, w):
+    """Full loop: reference Resize builds the metadata, then both
+    post_process implementations undo it on identical logits."""
+    ref_tf = import_reference_module("utils.transforms")
+    ref_mgr = import_reference_module("managers.HRNet_Manager")
+    from mscs_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(w)
+    img, lbl = _record(rng, h, w)
+    r = ref_tf.Resize("PASCALC", 1, min_side_length=160, fit_stride=32,
+                      return_original_labels=True)
+    r_img, r_lbl, meta = r((img, lbl, {}))
+    oh, ow = np.asarray(r_lbl).shape
+    logits = rng.standard_normal((1, 59, oh, ow)).astype(np.float32)
+
+    # reference side: unbound method with a stub manager self
+    fake_self = types.SimpleNamespace(
+        dataset="PASCALC",
+        model=types.SimpleNamespace(align_corners=True))
+    t_img = torch.from_numpy(
+        np.asarray(r_img, np.float32).transpose(2, 0, 1))[None]
+    t_lbl = torch.from_numpy(np.asarray(r_lbl))[None]
+    _, ref_out, ref_lbl = ref_mgr.HRNetManager.post_process_output(
+        fake_self, t_img, torch.from_numpy(logits), t_lbl, meta)
+
+    # our side: same logits (NHWC), same metadata
+    our_self = types.SimpleNamespace(
+        config={"graph": {"align_corners": True},
+                "data": {"dataset": "PASCALC"}})
+    our_out, our_lbl = Trainer.post_process_output(
+        our_self, logits.transpose(0, 2, 3, 1), np.asarray(r_lbl)[None],
+        meta)
+
+    np.testing.assert_allclose(
+        np.asarray(our_out), ref_out.numpy().transpose(0, 2, 3, 1),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(our_lbl).squeeze(), ref_lbl.numpy().squeeze())
+    # shape restored to the original record
+    assert np.asarray(our_out).shape[1:3] == (h, w)
+
+
+@requires_reference
+def test_post_process_is_reference_noop_for_cityscapes():
+    """Upstream gates the un-resize to PASCALC/ADE20K (HRNet_Manager.py:57);
+    a CITYSCAPES record with metadata must pass through untouched."""
+    from mscs_tpu.train.trainer import Trainer
+    our_self = types.SimpleNamespace(
+        config={"graph": {"align_corners": True},
+                "data": {"dataset": "CITYSCAPES"}})
+    logits = np.zeros((1, 8, 8, 19), np.float32)
+    label = np.zeros((1, 8, 8), np.int64)
+    meta = {"pw_ph_stride": (2, 2, 8),
+            "sh_sw_in_out": (1.0, 1.0, (6, 6), (8, 8))}
+    out, lbl = Trainer.post_process_output(our_self, logits, label, meta)
+    assert out.shape == (1, 8, 8, 19) and lbl.shape == (1, 8, 8)

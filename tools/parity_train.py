@@ -51,24 +51,50 @@ LR, MOMENTUM, WD, POWER = 0.01, 0.9, 5e-4, 0.9
 
 
 def make_batches(steps: int, bs: int, hw: int, seed: int = 42,
-                 blocks: int = 8):
+                 blocks: int = 8, signal: bool = False):
     """Deterministic synthetic batches: N(0,1) images + blocky label maps
     (coarse blocks x blocks class grid upsampled).  For ms_cs use blocks=2:
     the deepest contrastive scale sees hw/32 pixels and the REFERENCE crashes
     (torch.min on empty, DenseContrastiveLossV2.py:110) when no class reaches
-    min_views there — big regions keep both frameworks on the happy path."""
+    min_views there — big regions keep both frameworks on the happy path.
+
+    ``signal=True``: images carry a LEARNABLE class signal (fixed random
+    color per class + noise), so a val mIoU endpoint is meaningful — both
+    frameworks must learn the same color->class map at the same rate."""
     rng = np.random.default_rng(seed)
+    colors = np.random.default_rng(7).normal(size=(19, 3)).astype(np.float32)
     batches = []
     for _ in range(steps):
-        img = rng.standard_normal((bs, 3, hw, hw)).astype(np.float32)
         coarse = rng.integers(0, 19, (bs, blocks, blocks))
         lbl = np.kron(coarse, np.ones((1, hw // blocks, hw // blocks),
-                                      np.int64))
-        batches.append((img, lbl.astype(np.int64)))
+                                      np.int64)).astype(np.int64)
+        if signal:
+            img = (colors[lbl].transpose(0, 3, 1, 2)
+                   + 0.5 * rng.standard_normal((bs, 3, hw, hw))
+                   ).astype(np.float32)
+        else:
+            img = rng.standard_normal((bs, 3, hw, hw)).astype(np.float32)
+        batches.append((img, lbl))
     return batches
 
 
-def run_reference(batches, loss_name: str, total_steps: int):
+def _miou_from_preds(preds, labels, num_classes: int = 19) -> float:
+    """One shared numpy mIoU for both frameworks — the endpoint metric is
+    computed identically regardless of which side produced the argmax."""
+    cm = np.zeros((num_classes, num_classes), np.int64)
+    for p, l in zip(preds, labels):
+        k = (l >= 0) & (l < num_classes)
+        cm += np.bincount(num_classes * l[k].astype(np.int64) + p[k],
+                          minlength=num_classes ** 2
+                          ).reshape(num_classes, num_classes)
+    inter = np.diag(cm).astype(np.float64)
+    union = cm.sum(0) + cm.sum(1) - inter
+    iou = np.where(union > 0, inter / np.maximum(union, 1), np.nan)
+    return float(np.nanmean(iou))
+
+
+def run_reference(batches, loss_name: str, total_steps: int, seed: int = 0,
+                  val_batches=None):
     import torch
     from _reference_oracle import import_reference_module
 
@@ -79,7 +105,7 @@ def run_reference(batches, loss_name: str, total_steps: int):
     hr = import_reference_module("models.HRNet")
     lw = import_reference_module("losses.LossWrapper")
     lrf = import_reference_module("utils.lr_functions")
-    torch.manual_seed(0)
+    torch.manual_seed(seed)
     graph = dict(GRAPH)
     loss_cfg = dict(LOSS_CE if loss_name == "ce" else LOSS_MSCS)
     if loss_name != "ce":
@@ -115,15 +141,32 @@ def run_reference(batches, loss_name: str, total_steps: int):
         rec.update({k: float(v) for k, v in wrapper.loss_vals.items()})
         curves.append(rec)
         print(f"ref step {len(curves)-1}: {rec}", flush=True)
-    return sd0, curves
+
+    miou = None
+    if val_batches is not None:
+        model.eval()
+        preds, labels = [], []
+        with torch.no_grad():
+            for img, lbl in val_batches:
+                out = model(torch.from_numpy(img))
+                logits = out[0] if isinstance(out, tuple) else out
+                preds.append(logits.argmax(1).numpy())
+                labels.append(lbl)
+        miou = _miou_from_preds(np.concatenate(preds), np.concatenate(labels))
+        print(f"ref (seed {seed}) val mIoU: {miou:.4f}", flush=True)
+    return sd0, curves, miou
 
 
-def run_ours(sd0, batches, loss_name: str, total_steps: int, platform: str):
+def run_ours(sd0, batches, loss_name: str, total_steps: int, platform: str,
+             val_batches=None, bf16: bool = False):
     if platform == "cpu":
         import jax
         jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
+    if bf16:
+        from mscs_tpu.models.layers import set_compute_dtype
+        set_compute_dtype("bfloat16")
     from mscs_tpu.losses import LossWrapper
     from mscs_tpu.models import build_model
     from mscs_tpu.train import (TrainState, build_optimizer, make_lr_schedule,
@@ -161,7 +204,29 @@ def run_ours(sd0, batches, loss_name: str, total_steps: int, platform: str):
                if np.ndim(v) == 0 and k != "lr"}
         curves.append(rec)
         print(f"ours step {i}: {rec}", flush=True)
-    return curves
+
+    miou = None
+    if val_batches is not None:
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        @jax.jit
+        def fwd(variables, image):
+            out = model.apply(variables, image, train=False)
+            logits = out[0] if isinstance(out, tuple) else out
+            return jnp.argmax(logits, axis=-1)
+
+        preds, labels = [], []
+        for img, lbl in val_batches:
+            preds.append(np.asarray(jax.device_get(
+                fwd(variables, jnp.asarray(img.transpose(0, 2, 3, 1))))))
+            labels.append(lbl)
+        miou = _miou_from_preds(np.concatenate(preds), np.concatenate(labels))
+        tag = "bf16" if bf16 else "fp32"
+        print(f"ours ({tag}) val mIoU: {miou:.4f}", flush=True)
+    if bf16:
+        from mscs_tpu.models.layers import set_compute_dtype
+        set_compute_dtype("float32")
+    return curves, miou
 
 
 def grad_check_f64():
@@ -261,6 +326,44 @@ def summarize(ref, ours, loss_name):
     return out
 
 
+def endpoint_main(args):
+    """Long-horizon head-to-head with a val-mIoU endpoint (VERDICT r2 #2):
+    N steps of the MS-CS recipe on learnable synthetic data from identical
+    converted init + identical batches; endpoint = shared-numpy val mIoU of
+    (a) reference seed 0, (b) reference seed 1 (the run-to-run noise band),
+    (c) ours fp32, (d) ours bf16.  Pass criterion: |ours - refA| within the
+    |refA - refB| seed band (+small margin)."""
+    blocks = args.blocks or 2
+    train_b = make_batches(args.steps, args.bs, args.hw, blocks=blocks,
+                           signal=True)
+    val_b = make_batches(8, args.bs, args.hw, seed=1234, blocks=blocks,
+                         signal=True)
+    sd0, refA_curves, miou_refA = run_reference(
+        train_b, args.loss, args.steps, seed=0, val_batches=val_b)
+    _, _, miou_refB = run_reference(
+        train_b, args.loss, args.steps, seed=1, val_batches=val_b)
+    ours_fp32, miou_fp32 = run_ours(sd0, train_b, args.loss, args.steps,
+                                    args.platform, val_batches=val_b)
+    _, miou_bf16 = run_ours(sd0, train_b, args.loss, args.steps,
+                            args.platform, val_batches=val_b, bf16=True)
+    band = abs(miou_refA - miou_refB)
+    result = {
+        "loss": args.loss, "steps": args.steps, "bs": args.bs, "hw": args.hw,
+        "miou_ref_seed0": miou_refA, "miou_ref_seed1": miou_refB,
+        "miou_ours_fp32": miou_fp32, "miou_ours_bf16": miou_bf16,
+        "seed_band": band,
+        "gap_fp32_vs_refA": abs(miou_fp32 - miou_refA),
+        "gap_bf16_vs_refA": abs(miou_bf16 - miou_refA),
+        "summary_curves": summarize(refA_curves, ours_fp32, args.loss),
+    }
+    out = args.out or f"logs/parity_endpoint_{args.loss}.json"
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: v for k, v in result.items()
+                      if k != "summary_curves"}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--loss", choices=["ce", "ms_cs"], default="ce")
@@ -273,6 +376,9 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--grad-check", action="store_true",
                     help="f64 one-step fwd+bwd machine-precision check")
+    ap.add_argument("--endpoint", action="store_true",
+                    help="long-horizon run with val-mIoU endpoint + "
+                         "reference seed-noise band")
     args = ap.parse_args()
 
     if args.grad_check:
@@ -283,10 +389,14 @@ def main():
             json.dump(res, f, indent=1)
         return
 
+    if args.endpoint:
+        return endpoint_main(args)
+
     blocks = args.blocks or (2 if args.loss == "ms_cs" else 8)
     batches = make_batches(args.steps, args.bs, args.hw, blocks=blocks)
-    sd0, ref_curves = run_reference(batches, args.loss, args.steps)
-    our_curves = run_ours(sd0, batches, args.loss, args.steps, args.platform)
+    sd0, ref_curves, _ = run_reference(batches, args.loss, args.steps)
+    our_curves, _ = run_ours(sd0, batches, args.loss, args.steps,
+                             args.platform)
     summary = summarize(ref_curves, our_curves, args.loss)
     result = {"loss": args.loss, "steps": args.steps, "bs": args.bs,
               "hw": args.hw, "summary": summary,
