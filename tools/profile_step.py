@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_trace(out_dir: str, steps: int, fp32: bool, bs: int, hw: int,
-              max_features: int | None = None):
+              max_features: int | None = None, recipe: str | None = None,
+              graph_overrides: dict | None = None):
     import jax
     from __graft_entry__ import (FLAGSHIP_GRAPH, FLAGSHIP_LOSS,
                                  _build_train_setup, _setup_compile_cache)
@@ -36,11 +37,18 @@ def run_trace(out_dir: str, steps: int, fp32: bool, bs: int, hw: int,
         set_compute_dtype("bfloat16")
     n_chips = len(jax.devices())
     batch = bs * n_chips
-    loss_cfg = dict(FLAGSHIP_LOSS)
-    if max_features:
-        loss_cfg["max_features_total"] = max_features
-    state, step, batch_data = _build_train_setup(
-        dict(FLAGSHIP_GRAPH), loss_cfg, batch=batch, hw=hw)
+    if recipe:
+        from _recipe_setup import build_recipe_setup
+        state, step, batch_data, _ = build_recipe_setup(
+            recipe, batch, hw, fp32=fp32,
+            max_features=max_features or 2048,
+            graph_overrides=graph_overrides)
+    else:
+        loss_cfg = dict(FLAGSHIP_LOSS)
+        if max_features:
+            loss_cfg["max_features_total"] = max_features
+        state, step, batch_data = _build_train_setup(
+            dict(FLAGSHIP_GRAPH), loss_cfg, batch=batch, hw=hw)
     mesh = make_mesh()
     state = replicate(mesh, state)
     batch_data = shard_batch(mesh, batch_data)
@@ -146,10 +154,20 @@ def main():
     ap.add_argument("--out", default="/tmp/mscs_profile")
     ap.add_argument("--max-features", type=int, default=None)
     ap.add_argument("--parse-only", action="store_true")
+    ap.add_argument("--recipe", default=None,
+                    help="profile a shipped recipe (hrnet/upnswin/hrnetocr) "
+                         "instead of the flagship synthetic setup")
+    ap.add_argument("--graph-override", default=None,
+                    help='JSON dict merged into config["graph"]')
     args = ap.parse_args()
     if not args.parse_only:
+        import json as _json
         step_ms, batch = run_trace(args.out, args.steps, args.fp32,
-                                   args.bs, args.hw, args.max_features)
+                                   args.bs, args.hw, args.max_features,
+                                   recipe=args.recipe,
+                                   graph_overrides=_json.loads(
+                                       args.graph_override)
+                                   if args.graph_override else None)
         print(f"steady-state: {step_ms:.1f} ms/step "
               f"({batch / step_ms * 1000:.1f} img/s)")
     parse(args.out, args.steps)

@@ -11,17 +11,14 @@ all three paper recipes the same way, built from the SHIPPED config files
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-RECIPES = {
-    "hrnet": "configs/CITYSCAPES/hrnet_contrastive_CTS.json",
-    "upnswin": "configs/ADE20K/upnswin_contrastive_ADE20K.json",
-    "hrnetocr": "configs/ADE20K/hrnetocr_contrastive_ADE20K.json",
-}
+from _recipe_setup import RECIPES  # noqa: E402
 
 
 def main():
@@ -35,58 +32,19 @@ def main():
                          "the exact paper configs")
     ap.add_argument("--infonce", choices=["xla", "pallas"], default=None,
                     help="override loss.infonce_impl")
+    ap.add_argument("--graph-override", default=None,
+                    help='JSON dict merged into config["graph"], e.g. '
+                         '\'{"use_checkpoint": true}\'')
     args = ap.parse_args()
 
     import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from __graft_entry__ import _setup_compile_cache
-    _setup_compile_cache()
-    from mscs_tpu.config import graph_config, loss_config, parse_config
-    from mscs_tpu.data.datasets_info import num_real_classes
-    from mscs_tpu.losses import LossWrapper
-    from mscs_tpu.models import build_model
+    from _recipe_setup import build_recipe_setup
     from mscs_tpu.parallel import make_mesh, replicate, shard_batch
-    from mscs_tpu.train import (TrainState, build_optimizer, make_lr_schedule,
-                                make_train_step, output_flags)
-    if not args.fp32:
-        from mscs_tpu.models.layers import set_compute_dtype
-        set_compute_dtype("bfloat16")
-
-    cfg = parse_config(RECIPES[args.recipe], user="c", device=-1,
-                       dataset=-1, parallel=False)
-    cfg["graph"].pop("pretrained", None)  # no checkpoint files in-env
-    graph = graph_config(cfg)
-    lw_cfg = loss_config(cfg)
-    lw_cfg["max_features_total"] = min(
-        lw_cfg.get("max_features_total", 2048), args.max_features)
-    if args.infonce:
-        lw_cfg["infonce_impl"] = args.infonce
-    experiment = cfg["data"]["experiment"]
-    n_cls = num_real_classes(cfg["data"]["dataset"], experiment)
-
-    model = build_model(graph, experiment=experiment)
-    wrapper = LossWrapper.from_config(lw_cfg)
-    x = jnp.ones((args.bs, args.hw, args.hw, 3), jnp.float32)
-    y = jnp.asarray(np.random.default_rng(0).integers(
-        0, n_cls, (args.bs, args.hw, args.hw)), jnp.int32)
-    variables = jax.jit(model.init, static_argnames=("train",))(
-        jax.random.key(0), x, train=False)
-    n_params = sum(p.size for p in jax.tree.leaves(variables["params"]))
-    print(f"{args.recipe}: {n_params / 1e6:.1f}M params")
-    sched = make_lr_schedule(
-        {"learning_rate": 0.01, "lr_fct": "polynomial", "lr_batchwise": True,
-         "lr_params": {}}, [], 1000)
-    tx = build_optimizer({"optim": "SGD", "momentum": 0.9,
-                          "weight_decay": 5e-4}, sched, variables["params"])
-    state = TrainState.create(apply_fn=model.apply,
-                              params=variables["params"],
-                              batch_stats=variables.get("batch_stats", {}),
-                              tx=tx)
-    has_interm, has_proj = output_flags(graph)
-    step = make_train_step(wrapper, n_cls, has_interm=has_interm,
-                           has_proj=has_proj)
-    batch = {"image": x, "label": y}
+    state, step, batch, _ = build_recipe_setup(
+        args.recipe, args.bs, args.hw, fp32=args.fp32,
+        max_features=args.max_features, infonce=args.infonce,
+        graph_overrides=json.loads(args.graph_override)
+        if args.graph_override else None)
     mesh = make_mesh()
     state = replicate(mesh, state)
     batch = shard_batch(mesh, batch)
