@@ -24,6 +24,7 @@ import jax
 import numpy as np
 
 from mscs_tpu.data.sampler import repeat_factor_indices, shuffled_indices
+from mscs_tpu.data.transforms import seed_transform_rng
 from mscs_tpu.parallel.mesh import shard_batch, shard_grouped_batch
 
 _WORKER_DATASET = None
@@ -34,8 +35,14 @@ def _process_worker_init(dataset) -> None:
     _WORKER_DATASET = dataset
 
 
-def _process_worker_fetch(i: int):
+def _process_worker_fetch(i: int, rec_seed):
+    seed_transform_rng(rec_seed)
     return _WORKER_DATASET[int(i)]
+
+
+def _thread_worker_fetch(dataset, i: int, rec_seed):
+    seed_transform_rng(rec_seed)
+    return dataset[int(i)]
 
 
 class DataLoader:
@@ -82,7 +89,12 @@ class DataLoader:
 
     # ------------------------------------------------------------- pool mgmt
     def _submit_fn(self):
-        """Returns submit(i) -> handle and result(handle) -> record."""
+        """Returns submit(i, rec_seed) -> handle and result(handle) -> record.
+
+        ``rec_seed`` seeds the worker's thread-local augmentation RNG before
+        the fetch (transforms.seed_transform_rng) so each record's random
+        transforms are a pure function of (loader seed, epoch, position) —
+        deterministic for any worker count/type/scheduling."""
         if self.worker_type == "process":
             if self._pool is None:
                 import multiprocessing as mp
@@ -91,13 +103,14 @@ class DataLoader:
                                       initializer=_process_worker_init,
                                       initargs=(self.dataset,))
             pool = self._pool
-            return (lambda i: pool.apply_async(_process_worker_fetch, (int(i),)),
+            return (lambda i, s: pool.apply_async(_process_worker_fetch,
+                                                  (int(i), s)),
                     lambda h: h.get())
         if self._pool is None:
             self._pool = ThreadPoolExecutor(self.num_workers)
         pool = self._pool
         ds = self.dataset
-        return (lambda i: pool.submit(lambda j=int(i): ds[j]),
+        return (lambda i, s: pool.submit(_thread_worker_fetch, ds, int(i), s),
                 lambda h: h.result())
 
     def close(self) -> None:
@@ -124,10 +137,12 @@ class DataLoader:
         # bounded in-flight window: workers keep decoding ahead of training
         ahead = max(self.num_workers * 2, self.batch_size + 1)
         handles: collections.deque = collections.deque()
-        it = iter(flat)
+        it = ((pos, i, (self.seed, self.epoch, pos)) for pos, i
+              in enumerate(flat))
         for _ in range(ahead):
             try:
-                handles.append(submit(next(it)))
+                _, i, s = next(it)
+                handles.append(submit(i, s))
             except StopIteration:
                 break
 
@@ -135,7 +150,8 @@ class DataLoader:
             while handles:
                 h = handles.popleft()
                 try:
-                    handles.append(submit(next(it)))
+                    _, i, s = next(it)
+                    handles.append(submit(i, s))
                 except StopIteration:
                     pass
                 yield result(h)

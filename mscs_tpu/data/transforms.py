@@ -14,7 +14,7 @@ pipeline consumes NHWC float32 + int32 labels.
 from __future__ import annotations
 
 import math
-import random
+import threading
 from typing import Any
 
 import numpy as np
@@ -24,6 +24,28 @@ from mscs_tpu.data.datasets_info import has_ignore_class, num_all_classes
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+# ---------------------------------------------------------------- aug RNG --
+# All augmentation randomness draws from a THREAD-LOCAL generator seeded per
+# record by the DataLoader (seed, epoch, position).  The reference reseeds
+# numpy once per torch worker PROCESS (utils/utils.py:556-557); with thread
+# workers a process-global np.random would be shared across threads and the
+# draw order would depend on scheduling — same-seed runs could diverge under
+# load (the r2/r3 test_trainer flake).  Per-record seeding is stronger:
+# deterministic for any worker count, type, or interleaving.
+_TLS = threading.local()
+
+
+def seed_transform_rng(seed) -> None:
+    """Seed this thread's augmentation RNG (called per record fetch)."""
+    _TLS.rng = np.random.default_rng(seed)
+
+
+def transform_rng() -> np.random.Generator:
+    rng = getattr(_TLS, "rng", None)
+    if rng is None:  # direct dataset[idx] use outside a DataLoader
+        rng = _TLS.rng = np.random.default_rng()
+    return rng
 
 
 class BaseTransform:
@@ -42,7 +64,7 @@ class FlipNP:
 
     def __call__(self, arrs):
         img, lbl, *meta = arrs
-        if np.random.random() < 0.5:
+        if transform_rng().random() < 0.5:
             img = np.ascontiguousarray(img[:, ::-1])
             lbl = np.ascontiguousarray(lbl[:, ::-1])
         return (img, lbl, *meta)
@@ -72,7 +94,7 @@ class ExtRandomScale(BaseTransform):
     def __call__(self, arrs):
         img, lbl, *meta = arrs
         lo, hi = self.scale_range
-        scale = 2.0 ** random.uniform(math.log2(lo), math.log2(hi))
+        scale = 2.0 ** transform_rng().uniform(math.log2(lo), math.log2(hi))
         h, w = lbl.shape[:2]
         new_size = (int(round(w * scale)), int(round(h * scale)))  # PIL (W,H)
         img = np.asarray(Image.fromarray(img).resize(new_size, Image.BILINEAR))
@@ -95,9 +117,9 @@ class RandomResize(BaseTransform):
 
     def __call__(self, arrs):
         img, lbl, *meta = arrs
-        if np.random.random() < self.probability:
-            scale = random.uniform(*self.scale_range)
-            aspect = random.uniform(*self.aspect_range)
+        if transform_rng().random() < self.probability:
+            scale = transform_rng().uniform(*self.scale_range)
+            aspect = transform_rng().uniform(*self.aspect_range)
             wr = math.sqrt(aspect) * scale
             hr = math.sqrt(1.0 / aspect) * scale
             h, w = lbl.shape[:2]
@@ -109,8 +131,9 @@ class RandomResize(BaseTransform):
                 pad_w = self.target_size[0] - new_size[0]
                 pad_h = self.target_size[1] - new_size[1]
                 if pad_w > 0 or pad_h > 0:
-                    cp = random.randint(0, pad_w) if pad_w > 0 else 0
-                    rp = random.randint(0, pad_h) if pad_h > 0 else 0
+                    rng = transform_rng()
+                    cp = int(rng.integers(0, pad_w + 1)) if pad_w > 0 else 0
+                    rp = int(rng.integers(0, pad_h + 1)) if pad_h > 0 else 0
                     pi = ((rp, max(0, pad_h - rp)), (cp, max(0, pad_w - cp)))
                     img = np.pad(img, pi + ((0, 0),), mode="constant",
                                  constant_values=self.img_pad_value)
@@ -160,9 +183,9 @@ class FastScaleCrop(BaseTransform):
         img, lbl, *meta = arrs
         th, tw = self.crop_shape
         h, w = lbl.shape[:2]
-        if np.random.random() < self.probability:
-            scale = random.uniform(*self.scale_range)
-            aspect = random.uniform(*self.aspect_range)
+        if transform_rng().random() < self.probability:
+            scale = transform_rng().uniform(*self.scale_range)
+            aspect = transform_rng().uniform(*self.aspect_range)
             wr = math.sqrt(aspect) * scale
             hr = math.sqrt(1.0 / aspect) * scale
         else:
@@ -189,8 +212,8 @@ class FastScaleCrop(BaseTransform):
         fx, fy = w / new_w, h / new_h  # resized px -> original px
 
         def sample_box():
-            i = np.random.randint(0, new_h - th + 1)
-            j = np.random.randint(0, new_w - tw + 1)
+            i = int(transform_rng().integers(0, new_h - th + 1))
+            j = int(transform_rng().integers(0, new_w - tw + 1))
             return i, j, (min(j * fx, w), min(i * fy, h),
                           min((j + tw) * fx, w), min((i + th) * fy, h))
 
@@ -223,8 +246,8 @@ class RandomCropImgLbl(BaseTransform):
 
     def _rand_crop_params(self, h, w):
         th, tw = self.crop_shape
-        i = np.random.randint(0, max(h - th, 0) + 1)
-        j = np.random.randint(0, max(w - tw, 0) + 1)
+        i = int(transform_rng().integers(0, max(h - th, 0) + 1))
+        j = int(transform_rng().integers(0, max(w - tw, 0) + 1))
         return i, j, th, tw
 
     def __call__(self, arrs):
@@ -247,7 +270,7 @@ class RandomCropImgLbl(BaseTransform):
                     ignore_cls=self.ignore_class,
                     max_ratio=self.crop_class_max_ratio,
                     patience=self.patience,
-                    seed=int(np.random.randint(0, 2**62)))
+                    seed=int(transform_rng().integers(0, 2**62)))
             if hit is not None:
                 (i, j), _ = hit
             else:
@@ -328,9 +351,10 @@ class BlurPIL(BaseTransform):
         self.kernel_limits = kernel_limits
 
     def __call__(self, img):
-        if np.random.random() < self.probability:
+        if transform_rng().random() < self.probability:
             img = np.asarray(Image.fromarray(img).filter(
-                ImageFilter.GaussianBlur(radius=np.random.randint(*self.kernel_limits))))
+                ImageFilter.GaussianBlur(
+                    radius=int(transform_rng().integers(*self.kernel_limits)))))
         return img
 
 
@@ -345,20 +369,19 @@ class ColorJitter:
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
         pil = Image.fromarray(img)
-        ops = list(range(4))
-        random.shuffle(ops)
+        ops = [int(o) for o in transform_rng().permutation(4)]
         for op in ops:
             if op == 0:
                 pil = ImageEnhance.Brightness(pil).enhance(
-                    random.uniform(*self.brightness))
+                    transform_rng().uniform(*self.brightness))
             elif op == 1:
                 pil = ImageEnhance.Contrast(pil).enhance(
-                    random.uniform(*self.contrast))
+                    transform_rng().uniform(*self.contrast))
             elif op == 2:
                 pil = ImageEnhance.Color(pil).enhance(
-                    random.uniform(*self.saturation))
+                    transform_rng().uniform(*self.saturation))
             else:
-                f = random.uniform(*self.hue)
+                f = transform_rng().uniform(*self.hue)
                 hsv = np.asarray(pil.convert("HSV")).copy()
                 hsv[..., 0] = (hsv[..., 0].astype(np.int16)
                                + int(f * 255)) % 256

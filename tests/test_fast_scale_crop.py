@@ -6,7 +6,8 @@ import pytest
 from PIL import Image
 
 from mscs_tpu.data.transforms import (FastScaleCrop, RandomCropImgLbl,
-                                      RandomResize, parse_transform_lists)
+                                      RandomResize, parse_transform_lists,
+                                      seed_transform_rng)
 
 
 def _record(rng, h=200, w=300):
@@ -64,7 +65,7 @@ def test_fast_scale_crop_output_contract(rng_np):
 def test_fast_scale_crop_small_scale_fallback(rng_np):
     """Scales that shrink below the crop go through the reference pad path
     (random-position pad with the ignore class)."""
-    np.random.seed(0)
+    seed_transform_rng(0)
     t = FastScaleCrop("CITYSCAPES", 1, (256, 256), scale_range=(0.5, 0.5),
                       aspect_range=(1.0, 1.0))
     img, lbl = _record(rng_np, 200, 300)  # 0.5x -> 100x150 < 256
@@ -94,15 +95,13 @@ def test_parser_fusion_gate():
 def test_scale_distribution_matches_reference_pair(rng_np):
     """Mean label-class distribution over many fused crops matches the
     reference two-op pipeline (same augmentation distribution)."""
-    np.random.seed(1)
-    import random as pyrandom
-    pyrandom.seed(1)
+    seed_transform_rng(1)
     img, lbl = _record(rng_np, 256, 256)
     fast = FastScaleCrop("CITYSCAPES", 1, (96, 96), scale_range=(0.75, 1.5))
     slow_rs = RandomResize("CITYSCAPES", 1, scale_range=(0.75, 1.5),
                            target_size=(96, 96))
     slow_crop = RandomCropImgLbl("CITYSCAPES", 1, (96, 96))
-    n = 150
+    n = 600
     hist_fast = np.zeros(20)
     hist_slow = np.zeros(20)
     for _ in range(n):
@@ -128,7 +127,7 @@ def test_ext_random_scale_and_df_builder(tmp_path):
     img = np.random.default_rng(0).integers(0, 255, (40, 60, 3),
                                             dtype=np.uint8)
     lbl = np.random.default_rng(1).integers(0, 8, (40, 60)).astype(np.int32)
-    np.random.seed(0)
+    seed_transform_rng(0)
     out_img, out_lbl = t((img, lbl))
     assert out_img.shape[:2] == out_lbl.shape
     r = out_lbl.shape[0] / 40
