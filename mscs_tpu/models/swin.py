@@ -65,6 +65,20 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, 0.0)
 
 
+def resolve_attn_impl(impl: str, attn_drop: float, train: bool) -> str:
+    """'auto' picks the fused Pallas window-attention kernel on TPU.
+
+    The kernel (ops/pallas_window_attn.py) does not implement attention
+    dropout, so auto falls back to XLA when ``attn_drop > 0`` and training.
+    """
+    if impl in ("pallas", "xla"):
+        return impl
+    if attn_drop > 0.0 and train:
+        return "xla"
+    return ("pallas" if jax.default_backend() in ("tpu", "axon")
+            else "xla")
+
+
 class WindowAttention(nn.Module):
     dim: int
     window_size: int
@@ -76,9 +90,12 @@ class WindowAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None,
                  train: bool = False) -> jnp.ndarray:
-        """x: (num_windows*B, N, C); mask: (num_windows, N, N) or None."""
-        bnw, n, c = x.shape
+        """x: (num_windows*B, N, C) — XLA path — or (B, Hp, Wp, C) NHWC,
+        which dispatches to the fused Pallas kernel (window partitioning
+        happens inside the kernel; mask: (num_windows, N, N) or None)."""
         ws = self.window_size
+        n = ws * ws
+        c = x.shape[-1]
         head_dim = c // self.num_heads
         scale = head_dim ** -0.5
         table = self.param(
@@ -88,6 +105,18 @@ class WindowAttention(nn.Module):
         idx = jnp.asarray(_relative_position_index(ws).reshape(-1))
         bias = table[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
 
+        if x.ndim == 4:
+            from mscs_tpu.ops.pallas_window_attn import window_attention_nhwc
+            qkv = nn.Dense(c * 3, use_bias=self.qkv_bias, name="qkv")(x)
+            q, k, v = (qkv[..., i * c:(i + 1) * c] for i in range(3))
+            out = window_attention_nhwc(q, k, v, bias, mask,
+                                        num_heads=self.num_heads,
+                                        window_size=ws)
+            out = nn.Dense(c, name="proj")(out)
+            return nn.Dropout(self.proj_drop, deterministic=not train,
+                              name="proj_drop")(out)
+
+        bnw = x.shape[0]
         qkv = nn.Dense(c * 3, use_bias=self.qkv_bias, name="qkv")(x)
         qkv = qkv.reshape(bnw, n, 3, self.num_heads, head_dim)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
@@ -119,6 +148,7 @@ class SwinBlock(nn.Module):
     drop_path: float
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
+    attn_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -143,15 +173,22 @@ class SwinBlock(nn.Module):
             mask = jnp.asarray(_shift_attn_mask(hp, wp, ws, shift))
         else:
             mask = None
-        # window partition: reshape + transpose only
-        y = y.reshape(b, hp // ws, ws, wp // ws, ws, c)
-        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
-        y = WindowAttention(self.dim, ws, self.num_heads, self.qkv_bias,
-                            attn_drop=self.attn_drop_rate,
-                            proj_drop=self.drop_rate,
-                            name="attn")(y, mask, train)
-        y = y.reshape(b, hp // ws, wp // ws, ws, ws, c)
-        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)
+        attn = WindowAttention(self.dim, ws, self.num_heads, self.qkv_bias,
+                               attn_drop=self.attn_drop_rate,
+                               proj_drop=self.drop_rate,
+                               name="attn")
+        impl = resolve_attn_impl(self.attn_impl, self.attn_drop_rate, train)
+        if impl == "pallas":
+            # fused kernel: window partition/unpartition happen inside
+            # (ops/pallas_window_attn.py), no (B*nW, N, C) round trip
+            y = attn(y, mask, train)
+        else:
+            # window partition: reshape + transpose only
+            y = y.reshape(b, hp // ws, ws, wp // ws, ws, c)
+            y = y.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+            y = attn(y, mask, train)
+            y = y.reshape(b, hp // ws, wp // ws, ws, ws, c)
+            y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
         y = y[:, :h, :w]
@@ -199,6 +236,7 @@ class SwinTransformer(nn.Module):
     out_indices: tuple = (0, 1, 2, 3)
     frozen_stages: int = -1
     remat: bool = False
+    attn_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> list[jnp.ndarray]:
@@ -250,6 +288,7 @@ class SwinTransformer(nn.Module):
                     drop_path=float(dpr[blk_id]),
                     drop_rate=self.drop_rate,
                     attn_drop_rate=self.attn_drop_rate,
+                    attn_impl=self.attn_impl,
                     name=f"stage{stage}_block{d}")(x, train)
                 blk_id += 1
             if self.frozen_stages >= 2 and stage < self.frozen_stages - 1:

@@ -94,6 +94,7 @@ class UPerNet(nn.Module):
                 pretrain_img_size=cfg.get("pretrain_img_size", 224),
                 frozen_stages=cfg.get("frozen_stages", -1),
                 remat=cfg.get("use_checkpoint", False),
+                attn_impl=cfg.get("window_attn_impl", "auto"),
                 name="backbone")(x, train)
         else:
             d = ResNet(backbone_name, (False, False, False),
