@@ -66,3 +66,37 @@ def test_multi_head_channels_and_bf16():
     ox = np.asarray(blk_x.apply(params, x, False), np.float32)
     op = np.asarray(blk_p.apply(params, x, False), np.float32)
     np.testing.assert_allclose(op, ox, rtol=0.05, atol=0.05)
+
+
+def test_pallas_under_remat_matches_no_remat():
+    """use_checkpoint (nn.remat) around blocks containing the custom-vjp
+    Pallas kernel: grads must equal the non-remat pallas grads (and the
+    xla-path grads) — remat replays the fwd inside the bwd, so a kernel
+    whose vjp misbehaves under re-trace would diverge here."""
+    from mscs_tpu.models.swin import SwinTransformer
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 28, 28, 3)), jnp.float32)
+
+    def build(remat, impl):
+        return SwinTransformer("swinT", drop_path_rate=0.0,
+                               remat=remat, attn_impl=impl)
+
+    m0 = build(False, "pallas")
+    params = m0.init(jax.random.key(0), x, train=False)
+
+    def loss_fn(model):
+        def loss(p):
+            outs = model.apply(p, x, train=False)
+            return sum((o.astype(jnp.float32) ** 2).mean() for o in outs)
+        return loss
+
+    g_plain = jax.grad(loss_fn(m0))(params)
+    g_remat = jax.grad(loss_fn(build(True, "pallas")))(params)
+    g_xla = jax.grad(loss_fn(build(True, "xla")))(params)
+    for vp, vr, vx in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat),
+                          jax.tree.leaves(g_xla)):
+        np.testing.assert_allclose(np.asarray(vr), np.asarray(vp),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(vr), np.asarray(vx),
+                                   rtol=1e-4, atol=1e-5)
