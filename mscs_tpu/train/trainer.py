@@ -196,7 +196,10 @@ class Trainer:
 
         self.batch_size = dcfg.get("batch_size", 8)
         worker_type = dcfg.get("worker_type", "thread")
-        self.train_loader = DataLoader(
+        from mscs_tpu.data.grain_loader import build_loader
+        backend = dcfg.get("loader_backend", "native")
+        self.train_loader = build_loader(
+            backend,
             self.train_set, self.batch_size, shuffle=True, drop_last=True,
             num_workers=dcfg.get("num_workers", 4), seed=cfg.get("seed", 0),
             worker_type=worker_type)
@@ -212,14 +215,16 @@ class Trainer:
             rfs = cadis_repeat_factors(
                 self._train_df, self.experiment,
                 dcfg.get("repeat_factor_freq_thresh", 0.15))
-            self.rf_loader = DataLoader(
+            self.rf_loader = build_loader(
+                backend,
                 self.train_set, self.batch_size, shuffle=True, drop_last=True,
                 num_workers=dcfg.get("num_workers", 4),
                 seed=cfg.get("seed", 0), repeat_factors=rfs,
                 worker_type=worker_type)
             self.rf_epochs = range(int(rf_range[0]), int(rf_range[1]))
         vb = cfg.get("valid_batch_size", 1)
-        self.valid_loader = DataLoader(
+        self.valid_loader = build_loader(
+            backend,
             self.valid_set, vb, shuffle=False, drop_last=False,
             num_workers=dcfg.get("num_workers", 4),
             worker_type=worker_type)

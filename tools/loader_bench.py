@@ -56,12 +56,15 @@ def main():
     ap.add_argument("--root", default=None)
     ap.add_argument("--worker-type", default="thread",
                     choices=["thread", "process"])
+    ap.add_argument("--backend", default="native",
+                    choices=["native", "grain"],
+                    help="host loader backend (data.loader_backend)")
     ap.add_argument("--cache", default=None,
                     help="decoded-cache dir (data.cache_decoded); measure "
                          "a warmed cache by running twice with the same dir")
     args = ap.parse_args()
 
-    from mscs_tpu.data import DataLoader, parse_transform_lists
+    from mscs_tpu.data import parse_transform_lists
     from mscs_tpu.data.datasets import Cityscapes
 
     root = args.root or tempfile.mkdtemp(prefix="fake_cts_")
@@ -79,9 +82,10 @@ def main():
         "CITYSCAPES", 1)
     ds = Cityscapes(root, tf, split="train", experiment=1,
                     decoded_cache_dir=args.cache)
-    loader = DataLoader(ds, args.bs, shuffle=True, drop_last=True,
-                        num_workers=args.workers, seed=0,
-                        worker_type=args.worker_type)
+    from mscs_tpu.data.grain_loader import build_loader
+    loader = build_loader(args.backend, ds, args.bs, shuffle=True,
+                          drop_last=True, num_workers=args.workers, seed=0,
+                          worker_type=args.worker_type)
 
     seen = 0
     t0 = None
@@ -103,6 +107,7 @@ def main():
         "value": round(rate, 1),
         "workers": args.workers,
         "worker_type": args.worker_type,
+        "backend": args.backend,
         "cache": bool(args.cache),
         "host_cores": os.cpu_count(),
         "crop": [512, 512],
