@@ -69,15 +69,19 @@ def _measure(graph, loss_cfg, batch, hw, k, mesh):
         step = jax.jit(step, donate_argnums=(0,))
 
     rng = jax.random.key(0)
-    # warmup / compile
+    # warmup / compile.  Block on the WHOLE result tree, not a single log
+    # leaf: on the tunneled 'axon' platform blocking on one leaf has been
+    # observed to return before the dispatches actually executed
+    # (BENCH_r03.json carried a physically impossible 2470 img/s for the
+    # paper-exact config measured at 58 img/s — VERDICT r3 #1).
     state, logs = step(state, batch_data, rng, 0)
-    jax.block_until_ready(logs["loss"])
+    jax.block_until_ready((state, logs))
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         state, logs = step(state, batch_data, rng, 0)
-    jax.block_until_ready(logs["loss"])
+    jax.block_until_ready((state, logs))
     dt = time.perf_counter() - t0
     return batch * k * iters / dt
 
@@ -113,9 +117,24 @@ def main():
         "vs_baseline": round(per_chip / A100_BASELINE_IMG_PER_SEC_PER_CHIP, 3),
     }
     if not os.environ.get("MSCS_BENCH_SKIP_PAPER_EXACT"):
-        paper = _measure(FLAGSHIP_GRAPH,
-                         dict(FLAGSHIP_LOSS, max_features_total=10000),
-                         batch, hw, k, mesh) / n_chips
+        # Self-validation (VERDICT r3 #1): the paper-exact config does
+        # strictly MORE work than the headline (5x anchor cap, same model),
+        # so its throughput must be below-or-near the headline.  A ratio
+        # outside [0.3, 1.2] means the measurement itself is broken (e.g.
+        # dispatches returned without executing); re-measure once, and if
+        # the violation persists emit "suspect": true instead of a silently
+        # wrong number of record.
+        paper_loss = dict(FLAGSHIP_LOSS, max_features_total=10000)
+        for attempt in range(2):
+            paper = _measure(FLAGSHIP_GRAPH, paper_loss, batch, hw, k,
+                             mesh) / n_chips
+            ratio = paper / per_chip
+            if 0.3 <= ratio <= 1.2:
+                break
+            print(f"# bench: paper_exact/headline ratio {ratio:.2f} outside "
+                  f"[0.3, 1.2] (attempt {attempt + 1})", flush=True)
+        else:
+            result["suspect"] = True
         result["paper_exact_mf10000"] = round(paper, 3)
     print(json.dumps(result))
 

@@ -99,16 +99,23 @@ class GrainDataLoader(DataLoader):
         if len(flat) == 0:
             return
         rec_it = self._grain_iter(np.asarray(flat))
-        for b in range(nb):
-            want = (self.batch_size if self.drop_last or b < nb - 1
-                    else len(flat) - b * self.batch_size)
-            recs = [r for _, r in zip(range(want), rec_it)]
-            if not recs:
-                return
-            imgs = np.stack([r[0] for r in recs]).astype(np.float32)
-            lbls = np.stack([r[1] for r in recs]).astype(np.int32)
-            metas = [r[2] for r in recs]
-            yield {"image": imgs, "label": lbls, "metadata": metas}
+        try:
+            for b in range(nb):
+                want = (self.batch_size if self.drop_last or b < nb - 1
+                        else len(flat) - b * self.batch_size)
+                recs = [r for _, r in zip(range(want), rec_it)]
+                if not recs:
+                    return
+                imgs = np.stack([r[0] for r in recs]).astype(np.float32)
+                lbls = np.stack([r[1] for r in recs]).astype(np.int32)
+                metas = [r[2] for r in recs]
+                yield {"image": imgs, "label": lbls, "metadata": metas}
+        finally:
+            # Early epoch exits (trainer debug-mode 3-batch truncation,
+            # bounded validate/infer loops) close this generator mid-epoch;
+            # drop the Grain iterator reference HERE so its worker processes
+            # terminate promptly instead of at whenever-GC (ADVICE r3).
+            del rec_it
 
 
 def build_loader(backend: str, *args, **kwargs) -> DataLoader:

@@ -235,7 +235,12 @@ class SwinTransformer(nn.Module):
     patch_norm: bool = True
     out_indices: tuple = (0, 1, 2, 3)
     frozen_stages: int = -1
-    remat: bool = False
+    # remat granularity (graph.use_checkpoint): False = none; True/'all' =
+    # every block (the torch use_checkpoint analogue, ref Swin.py:470-473);
+    # 'stageK' = only stage K's blocks (e.g. 'stage2' remats the deep
+    # 18-block stage of S/B/L variants — most of the activation memory for
+    # a fraction of the recompute)
+    remat: bool | str = False
     attn_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
 
     @nn.compact
@@ -277,9 +282,11 @@ class SwinTransformer(nn.Module):
         blk_id = 0
         for stage, depth in enumerate(depths):
             dim = embed_dim * (2 ** stage)
+            stage_remat = (self.remat in (True, "all")
+                           or self.remat == f"stage{stage}")
             for d in range(depth):
                 block_cls = (nn.remat(SwinBlock, static_argnums=(2,))
-                             if self.remat else SwinBlock)
+                             if stage_remat else SwinBlock)
                 x = block_cls(
                     dim=dim, num_heads=num_heads[stage],
                     window_size=self.window_size,

@@ -46,6 +46,22 @@ def confusion_matrix(prediction: jnp.ndarray, target: jnp.ndarray,
     return cm
 
 
+def confusion_matrix_np(prediction: np.ndarray, target: np.ndarray,
+                        num_classes: int) -> np.ndarray:
+    """Host-side numpy twin of :func:`confusion_matrix` for variable-shaped
+    eval records (post-processed validation at original label resolution,
+    ref ``HRNet_Manager.py:183-185``) — a bincount here avoids one XLA
+    compile per distinct original-image shape."""
+    if prediction.ndim == target.ndim + 1:
+        prediction = np.argmax(prediction, axis=-1)
+    pred = prediction.reshape(-1).astype(np.int64)
+    tgt = target.reshape(-1).astype(np.int64)
+    valid = (tgt >= 0) & (tgt < num_classes)
+    idx = pred[valid] * num_classes + tgt[valid]
+    return np.bincount(idx, minlength=num_classes * num_classes).reshape(
+        num_classes, num_classes)
+
+
 def normalise_confusion_matrix(matrix: jnp.ndarray, mode: str) -> jnp.ndarray:
     m = matrix.astype(jnp.float32)
     if mode == "row":

@@ -410,10 +410,19 @@ class Trainer:
         return image, label, (h, w)
 
     def validate(self, epoch: int) -> dict[str, float]:
+        from mscs_tpu.ops.metrics import confusion_matrix_np
+
         cm = np.zeros((self.num_classes, self.num_classes), np.int64)
-        limit = 3 if self.debugging else len(self.valid_loader)
+        n_records = len(self.valid_loader)
+        limit = 3 if self.debugging else n_records
         loss_sum, n_batches = 0.0, 0
-        panel = None
+        # evenly-spaced panel records over the val set
+        # (ref HRNet_Manager.py:189-196 linspaces max_valid_imgs records)
+        n_panels = int(self.config.get("max_valid_imgs", 10))
+        panel_recs = (set(np.round(np.linspace(
+            0, max(n_records - 1, 0), n_panels)).astype(int))
+            if n_panels > 0 and self.config.get("log_images", True) else set())
+        panels: list[tuple[int, np.ndarray, np.ndarray, np.ndarray]] = []
         for i, batch in enumerate(self.valid_loader):
             if i >= limit:
                 break
@@ -425,15 +434,45 @@ class Trainer:
             logits, cm_b, loss_b = self.val_step(
                 self.state, device_batch,
                 jax.random.fold_in(self.rng, 7919 + i), epoch)
-            cm += np.asarray(jax.device_get(cm_b), np.int64)
             loss_sum += float(jax.device_get(loss_b))
             n_batches += 1
-            if i == 0:
-                panel = (np.asarray(
-                             jax.device_get(device_batch["image"][0]))[:oh, :ow],
-                         np.asarray(batch["label"][0]),
-                         np.asarray(jax.device_get(
-                             jnp.argmax(logits[0], axis=-1)))[:oh, :ow])
+            # The reference applies post_process_output BEFORE the epoch-val
+            # confusion matrix (HRNet_Manager.py:183-185): un-pad, un-resize,
+            # evaluate vs original labels.  Best-mIoU checkpoint selection on
+            # PASCALC/ADE20K therefore happens at original label resolution;
+            # match that here (loss stays at network resolution like the
+            # reference's forward_step).  Other datasets keep the on-device
+            # shape-bucket fast path.
+            meta = (batch["metadata"][0] if batch.get("metadata") else None)
+            post = (meta is not None and image.shape[0] == 1
+                    and self.dataset in ("PASCALC", "ADE20K"))
+            if post:
+                logits_np = np.asarray(jax.device_get(logits))[:, :oh, :ow]
+                logits_np, label_np = self.post_process_output(
+                    logits_np, np.asarray(batch["label"]), meta)
+                cm += confusion_matrix_np(logits_np, np.asarray(label_np),
+                                          self.num_classes)
+            else:
+                cm += np.asarray(jax.device_get(cm_b), np.int64)
+            if i in panel_recs and len(panels) < n_panels:
+                if post:
+                    # panel at original resolution like the reference
+                    # (HRNet_Manager.py:69-77 resizes img back too; nearest
+                    # here — the image is eyeball-only)
+                    lbl0 = np.asarray(label_np[0])
+                    pred0 = np.argmax(logits_np[0], axis=-1)
+                    img0 = np.asarray(
+                        jax.device_get(device_batch["image"][0]))[:oh, :ow]
+                    ys = np.linspace(0, oh - 1, lbl0.shape[0]).round().astype(int)
+                    xs = np.linspace(0, ow - 1, lbl0.shape[1]).round().astype(int)
+                    img0 = img0[ys][:, xs]
+                else:
+                    img0 = np.asarray(
+                        jax.device_get(device_batch["image"][0]))[:oh, :ow]
+                    lbl0 = np.asarray(batch["label"][0])
+                    pred0 = np.asarray(jax.device_get(
+                        jnp.argmax(logits[0], axis=-1)))[:oh, :ow]
+                panels.append((i, img0, lbl0, pred0))
         mious = mean_iou(jnp.asarray(cm), self.dataset, self.experiment,
                          categories=True)
         pa, pac = pixel_accuracy(jnp.asarray(cm))
@@ -456,11 +495,11 @@ class Trainer:
             from PIL import Image as PILImage
             viz_dir = self.log_dir / "viz"
             viz_dir.mkdir(exist_ok=True)
-            if panel is not None:
-                img = to_comb_image(panel[0], panel[1], panel[2],
+            for rec, img0, lbl0, pred0 in panels:
+                img = to_comb_image(img0, lbl0, pred0,
                                     self.dataset, self.experiment)
                 PILImage.fromarray(img).save(
-                    viz_dir / f"valid_e{epoch:03d}_panel.png")
+                    viz_dir / f"valid_e{epoch:03d}_panel_r{rec:04d}.png")
             confusion_matrix_figure(cm, self.dataset, self.experiment,
                                     viz_dir / f"valid_e{epoch:03d}_cm.png")
 
@@ -538,7 +577,7 @@ class Trainer:
     def infer(self) -> dict[str, float]:
         """TTA evaluation (ref BaseManager.infer :585-675)."""
         from mscs_tpu.models.tta import build_tta
-        from mscs_tpu.ops.metrics import confusion_matrix as cm_fn
+        from mscs_tpu.ops.metrics import confusion_matrix_np
         from mscs_tpu.train.state import split_outputs
 
         if self.config.get("load_checkpoint"):
@@ -592,9 +631,10 @@ class Trainer:
             meta = (batch["metadata"][0] if batch.get("metadata") else None)
             logits, label = self.post_process_output(
                 logits, np.asarray(batch["label"]), meta)
-            cm += np.asarray(jax.device_get(cm_fn(
-                jnp.asarray(logits), jnp.asarray(label),
-                self.num_classes)), np.int64)
+            # host bincount: post-processed records have per-record original
+            # shapes — a jitted cm would recompile per distinct shape
+            cm += confusion_matrix_np(np.asarray(logits), np.asarray(label),
+                                      self.num_classes)
             if submit_dir is not None:
                 from PIL import Image as PILImage
                 from mscs_tpu.utils.viz import (mask_to_colormap,

@@ -52,19 +52,27 @@ def _batch(rng_np, n=8, hw=32):
     return jnp.asarray(lbl), [jnp.asarray(f) for f in feats]
 
 
-def test_anchor_groups_match_manual_split(rng_np):
+import pytest
+
+
+@pytest.mark.parametrize("n", [8, 12])
+def test_anchor_groups_match_manual_split(rng_np, n):
     """groups=4 == mean of 4 independent per-group losses with the same
-    split rngs (the reference's per-replica DDP semantics)."""
-    lbl, feats = _batch(rng_np)
+    split rngs (the reference's per-replica DDP semantics).  n=12 is the
+    Cityscapes paper-recipe shape: global bs 12 as 4 DDP replicas × bs 3
+    (VERDICT r3 #3; the shipped configs pin per_replica_anchors)."""
+    lbl, feats = _batch(rng_np, n=n)
     rng = jax.random.key(3)
+    per_g = n // 4
 
     grouped = DenseContrastiveLossV2_ms.from_config(_loss_cfg(groups=4))
     loss_g, aux_g = grouped(rng, lbl, feats)
 
     single = DenseContrastiveLossV2_ms.from_config(_loss_cfg(groups=1))
     rngs = jax.random.split(rng, 4)
-    per = [single(rngs[i], lbl[2 * i:2 * i + 2],
-                  [f[2 * i:2 * i + 2] for f in feats])[0] for i in range(4)]
+    per = [single(rngs[i], lbl[per_g * i:per_g * (i + 1)],
+                  [f[per_g * i:per_g * (i + 1)] for f in feats])[0]
+           for i in range(4)]
     np.testing.assert_allclose(float(loss_g), float(np.mean([float(p) for p in per])),
                                rtol=1e-5)
     assert np.isfinite(float(loss_g))

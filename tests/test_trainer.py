@@ -93,6 +93,9 @@ def test_parse_config_mirrors_reference_surface():
     assert cfg["train"]["lr_fct"] == "polynomial"
     # defaults merged
     assert cfg["data"]["repeat_factor_freq_thresh"] == 0.15
+    # paper recipes pin DDP per-replica anchor semantics (VERDICT r3 #3):
+    # on a multi-chip mesh the Trainer maps this to anchor_groups = n_devices
+    assert cfg["loss"]["per_replica_anchors"] is True
 
 
 def test_trainer_infer_with_tta(tmp_path):

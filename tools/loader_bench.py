@@ -62,6 +62,12 @@ def main():
     ap.add_argument("--cache", default=None,
                     help="decoded-cache dir (data.cache_decoded); measure "
                          "a warmed cache by running twice with the same dir")
+    ap.add_argument("--spawn-cost", type=int, default=0, metavar="E",
+                    help="measure per-epoch worker startup instead of "
+                         "steady-state rate: time-to-first-batch over E "
+                         "epochs (the grain backend spawns its worker pool "
+                         "per epoch; the native process pool is persistent "
+                         "— VERDICT r3 #8)")
     args = ap.parse_args()
 
     from mscs_tpu.data import parse_transform_lists
@@ -86,6 +92,31 @@ def main():
     loader = build_loader(args.backend, ds, args.bs, shuffle=True,
                           drop_last=True, num_workers=args.workers, seed=0,
                           worker_type=args.worker_type)
+
+    if args.spawn_cost:
+        # time-to-first-batch per epoch: epoch 0 includes one-time costs
+        # (imports, page cache); epochs 1+ isolate the per-epoch spawn
+        ttfb = []
+        for epoch in range(args.spawn_cost):
+            loader.set_epoch(epoch)
+            t0 = time.perf_counter()
+            it = iter(loader)
+            next(it)
+            ttfb.append(round(time.perf_counter() - t0, 3))
+            for _ in it:       # drain so workers shut down cleanly
+                pass
+        loader.close()
+        steady = ttfb[1:] or ttfb
+        print(json.dumps({
+            "metric": "loader_time_to_first_batch_sec",
+            "per_epoch": ttfb,
+            "steady_mean": round(sum(steady) / len(steady), 3),
+            "workers": args.workers,
+            "worker_type": args.worker_type,
+            "backend": args.backend,
+            "host_cores": os.cpu_count(),
+        }))
+        return
 
     seen = 0
     t0 = None
