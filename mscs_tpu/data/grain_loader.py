@@ -30,6 +30,10 @@ Design notes
   spawn cost, right default for tests and single-core hosts.  Larger
   values spawn that many Grain worker processes per epoch; the dataset
   must be picklable (same contract as ``worker_type='process'``).
+  Per-epoch spawn cost is measured (tools/loader_bench.py --spawn-cost:
+  ~15 s/epoch at 2 workers on a 1-core host vs the native process pool's
+  one-time spawn) and documented in configs/README.md — prefer the native
+  process pool for many short epochs.
 """
 from __future__ import annotations
 

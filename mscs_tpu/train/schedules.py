@@ -58,12 +58,16 @@ def make_lr_schedule(train_config: dict[str, Any],
     power = float(lr_params.get("power", 0.9))
     min_lr = float(lr_params.get("min_lr", 0.0))
     gamma = float(lr_params.get("gamma", 0.98))
+    # poly denominator is (total - 1) like the reference
+    # (lr_functions.py:67-136); clamp to 1 so the degenerate 1-step
+    # schedule (debug runs on tiny datasets) yields lr=base, not nan
+    poly_denom = max(lr_total_steps - 1, 1)
 
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
         if not uses_restarts:
             if lr_fct == "polynomial":
-                coeff = (1 - step / (lr_total_steps - 1)) ** power
+                coeff = (1 - step / poly_denom) ** power
                 return base_lr * ((1.0 - min_lr) * coeff + min_lr)
             if lr_fct == "exponential":
                 return base_lr * gamma ** step
@@ -71,7 +75,7 @@ def make_lr_schedule(train_config: dict[str, Any],
                 wi = float(lr_params["warmup_iters"])
                 wr = float(lr_params["warmup_rate"])
                 warm = 1 - (1 - (step + 1) / wi) * (1 - wr)
-                coeff = (1 - step / (lr_total_steps - 1)) ** power
+                coeff = (1 - step / poly_denom) ** power
                 poly = (1.0 - min_lr) * coeff + min_lr
                 return base_lr * jnp.where(step <= wi - 1, warm, poly)
             if lr_fct == "static":
@@ -95,7 +99,7 @@ def make_lr_schedule(train_config: dict[str, Any],
         if lr_fct == "exponential":
             return base_lr * base_val * gamma ** since
         if lr_fct == "polynomial":
-            coeff = (1 - since / (ls[idx] - 1)) ** power
+            coeff = (1 - since / jnp.maximum(ls[idx] - 1, 1)) ** power
             return base_lr * ((base_val - min_lr) * coeff + min_lr)
         if lr_fct == "cosine":
             return base_lr * base_val * 0.5 * (1 + jnp.cos(jnp.pi * since / ls[idx]))

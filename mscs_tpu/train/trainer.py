@@ -338,6 +338,12 @@ class Trainer:
                     jax.profiler.stop_trace()
             device_batch.pop("metadata", None)
             weight = device_batch.pop("_steps", 1)
+            if i == 0 and self.config.get("log_images", True):
+                # pre-update [img|lbl|pred] panel from the epoch's first
+                # record (ref train_logging writes train_images/record_00
+                # at batch 0 of every epoch, LoggingManager.py:163-170)
+                self._write_train_panel(device_batch, epoch,
+                                        grouped=group > 1)
             if group > 1 and weight == group:
                 results = [(self._run_step(self.train_multistep,
                                            device_batch, epoch), weight)]
@@ -382,6 +388,30 @@ class Trainer:
         printlog(f"epoch {epoch:03d} train: " + ", ".join(
             f"{k}={v:.4f}" for k, v in scalars.items()))
         return scalars
+
+    def _write_train_panel(self, device_batch, epoch: int,
+                           grouped: bool) -> None:
+        """One [img | lbl | pred] panel from the first train record of the
+        epoch, computed on the pre-update params like the reference's
+        batch-0 ``train_images/record_00`` panel."""
+        from mscs_tpu.utils.viz import to_comb_image
+        from PIL import Image as PILImage
+        img = device_batch["image"]
+        lbl = device_batch["label"]
+        if grouped:  # (K, N, ...) scanned-multistep layout
+            img, lbl = img[0], lbl[0]
+        one = {"image": img[0:1], "label": lbl[0:1]}
+        logits, _, _ = self.val_step(self.state, one,
+                                     jax.random.fold_in(self.rng, 104729),
+                                     epoch)
+        pred = np.asarray(jax.device_get(jnp.argmax(logits[0], axis=-1)))
+        viz_dir = self.log_dir / "viz"
+        viz_dir.mkdir(exist_ok=True)
+        panel = to_comb_image(np.asarray(jax.device_get(img[0])),
+                              np.asarray(jax.device_get(lbl[0])), pred,
+                              self.dataset, self.experiment)
+        PILImage.fromarray(panel).save(
+            viz_dir / f"train_e{epoch:03d}_panel.png")
 
     def _run_step(self, step_fn, device_batch, epoch):
         """Advance ``self.state`` through one compiled dispatch; return logs."""

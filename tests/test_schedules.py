@@ -50,3 +50,13 @@ def test_cosine_with_restarts():
 def test_restart_epoch_to_step_conversion():
     bpe = [10] * 5  # 5 epochs x 10 batches
     assert convert_restarts_to_steps([2, 4], bpe) == [20, 40]
+
+
+def test_polynomial_degenerate_one_step_is_finite():
+    """total=1 (debug runs on tiny datasets) must give lr=base, not a
+    0/0 nan that silently poisons the first optimizer step (r4)."""
+    cfg = {"learning_rate": 0.01, "lr_fct": "polynomial",
+           "lr_batchwise": True, "lr_params": {}}
+    sched = make_lr_schedule(cfg, [], 1)
+    assert np.isfinite(float(sched(0)))
+    np.testing.assert_allclose(float(sched(0)), 0.01, rtol=1e-6)

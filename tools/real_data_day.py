@@ -338,7 +338,8 @@ def main():
     ctx = {"config": config, "config_path": args.config,
            "data_path": args.data_path, "records": args.records,
            "ref_checkpoint": args.ref_checkpoint, "trainer": trainer}
-    if args.dry_run and not args.ref_checkpoint:
+    if args.dry_run and not args.ref_checkpoint and \
+            "eval_parity" in args.steps:
         from _reference_oracle import reference_available
         if reference_available():
             ctx["ref_checkpoint"], ctx["ref_graph"] = make_fake_trained_ckpt(
