@@ -77,13 +77,29 @@ def _measure(graph, loss_cfg, batch, hw, k, mesh):
     state, logs = step(state, batch_data, rng, 0)
     jax.block_until_ready((state, logs))
 
+    # Timed window.  block_until_ready alone has TWICE produced physically
+    # impossible numbers through the axon tunnel (r3: 2470 img/s; r4 attempt
+    # 1: 8.59x the headline) — both times on the SECOND program measured in
+    # the process, consistent with the tunnel acking readiness of a
+    # freshly-compiled executable's outputs before execution finished.  The
+    # number of record is therefore taken at a device->host FETCH of a loss
+    # scalar that data-depends on the entire iteration chain (each step
+    # consumes the previous state; the final loss is computed from the final
+    # params) — a value cannot be materialised on the host before the work
+    # that defines it ran.  The block-vs-fetch gap is returned as a
+    # diagnostic: >5% means block_until_ready returned early on this run.
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         state, logs = step(state, batch_data, rng, 0)
     jax.block_until_ready((state, logs))
+    dt_block = time.perf_counter() - t0
+    final_loss = float(np.asarray(logs["loss"]))
     dt = time.perf_counter() - t0
-    return batch * k * iters / dt
+    assert np.isfinite(final_loss), f"non-finite bench loss {final_loss}"
+    return batch * k * iters / dt, {
+        "dt_block": round(dt_block, 4), "dt_fetch": round(dt, 4),
+        "block_early_return": bool(dt > 1.05 * dt_block)}
 
 
 def main():
@@ -108,14 +124,17 @@ def main():
     k = int(os.environ.get("MSCS_STEPS_PER_CALL", "4"))
     mesh = make_mesh()
 
-    per_chip = _measure(FLAGSHIP_GRAPH, FLAGSHIP_LOSS, batch, hw, k,
-                        mesh) / n_chips
+    per_chip, diag = _measure(FLAGSHIP_GRAPH, FLAGSHIP_LOSS, batch, hw, k,
+                              mesh)
+    per_chip /= n_chips
     result = {
         "metric": "train_images_per_sec_per_chip_hrnetw48_mscs_512_mf2048",
         "value": round(per_chip, 3),
         "unit": "img/s/chip",
         "vs_baseline": round(per_chip / A100_BASELINE_IMG_PER_SEC_PER_CHIP, 3),
     }
+    if diag["block_early_return"]:
+        result["headline_block_early_return"] = diag
     if not os.environ.get("MSCS_BENCH_SKIP_PAPER_EXACT"):
         # Self-validation (VERDICT r3 #1): the paper-exact config does
         # strictly MORE work than the headline (5x anchor cap, same model),
@@ -123,18 +142,27 @@ def main():
         # outside [0.3, 1.2] means the measurement itself is broken (e.g.
         # dispatches returned without executing); re-measure once, and if
         # the violation persists emit "suspect": true instead of a silently
-        # wrong number of record.
+        # wrong number of record.  The fetch-anchored timing in _measure
+        # should make a trip here impossible; "attempts" records how many
+        # measurements the shipped number took (VERDICT r4 #2/weak 7).
         paper_loss = dict(FLAGSHIP_LOSS, max_features_total=10000)
         for attempt in range(2):
-            paper = _measure(FLAGSHIP_GRAPH, paper_loss, batch, hw, k,
-                             mesh) / n_chips
+            paper, pdiag = _measure(FLAGSHIP_GRAPH, paper_loss, batch, hw, k,
+                                    mesh)
+            paper /= n_chips
             ratio = paper / per_chip
+            if pdiag["block_early_return"]:
+                print(f"# bench: block_until_ready returned early on "
+                      f"paper-exact attempt {attempt + 1}: {pdiag}",
+                      flush=True)
+                result["paper_block_early_return"] = pdiag
             if 0.3 <= ratio <= 1.2:
                 break
             print(f"# bench: paper_exact/headline ratio {ratio:.2f} outside "
                   f"[0.3, 1.2] (attempt {attempt + 1})", flush=True)
         else:
             result["suspect"] = True
+        result["attempts"] = attempt + 1
         result["paper_exact_mf10000"] = round(paper, 3)
     print(json.dumps(result))
 

@@ -272,6 +272,15 @@ class SwinTransformer(nn.Module):
 
         total_depth = sum(depths)
         dpr = np.linspace(0, self.drop_path_rate, total_depth)
+        # ADVICE r4: an unknown remat value ('stage9', 'Stage2', 'true')
+        # would otherwise silently disable rematerialization and surface as
+        # an unexplained OOM instead of an error.
+        valid_remat = {False, True, "all"} | {
+            f"stage{s}" for s in range(len(depths))}
+        if self.remat not in valid_remat:
+            raise ValueError(
+                f"graph.use_checkpoint={self.remat!r} not in "
+                f"{sorted(map(str, valid_remat))}")
         # frozen_stages (ref Swin.py:637-652): stop gradients into the patch
         # embed (>=0) and the first k stages (>=2 freezes stages 0..k-2).
         # NOTE: pair with zero weight decay on frozen params (opt_keys) —

@@ -53,6 +53,20 @@ from mscs_tpu.train.state import (
 from mscs_tpu.utils.logger import Logger, ScalarWriter, printlog
 
 
+def resolve_anchor_groups(per_replica_anchors, mesh_size: int) -> int | None:
+    """Map ``loss.per_replica_anchors`` to a DCV2_ms ``anchor_groups`` count.
+
+    ``true`` -> one group per mesh device (DDP semantics on THIS mesh);
+    an integer -> that many groups regardless of device count (ADVICE r4:
+    the paper's 4-GPU x bs-3 anchor pools on any mesh size); falsy -> None
+    (single global pool)."""
+    if not per_replica_anchors:
+        return None
+    if isinstance(per_replica_anchors, bool):
+        return int(mesh_size)
+    return int(per_replica_anchors)
+
+
 class Trainer:
     def __init__(self, config: dict[str, Any]):
         self.config = config
@@ -236,9 +250,14 @@ class Trainer:
         self.model = build_model(gcfg, self.experiment)
         lw_cfg = loss_config(cfg)
         # opt-in exact-DDP contrastive semantics: per-device anchor pools
-        # (see DenseContrastiveLossV2_ms.anchor_groups)
-        if lw_cfg.get("per_replica_anchors"):
-            lw_cfg["anchor_groups"] = int(self.mesh.devices.size)
+        # (see DenseContrastiveLossV2_ms.anchor_groups).  ``true`` groups by
+        # the current mesh size; an explicit integer pins the group count
+        # independent of the device count (ADVICE r4: paper parity means 4
+        # groups x bs 3 regardless of how many chips run the step).
+        groups = resolve_anchor_groups(lw_cfg.get("per_replica_anchors"),
+                                       self.mesh.devices.size)
+        if groups is not None:
+            lw_cfg["anchor_groups"] = groups
         self.loss_wrapper = LossWrapper.from_config(lw_cfg)
         self.has_interm, self.has_proj = output_flags(gcfg)
 
@@ -476,6 +495,18 @@ class Trainer:
             meta = (batch["metadata"][0] if batch.get("metadata") else None)
             post = (meta is not None and image.shape[0] == 1
                     and self.dataset in ("PASCALC", "ADE20K"))
+            if (meta is not None and image.shape[0] > 1
+                    and self.dataset in ("PASCALC", "ADE20K")
+                    and not getattr(self, "_warned_post_bs", False)):
+                # ADVICE r4: without this warning a valid_batch_size > 1
+                # config silently reverts best-mIoU selection to
+                # network/bucket resolution — a quiet semantic divergence
+                # from the reference (which always validates at bs 1).
+                self._warned_post_bs = True
+                printlog(
+                    f"WARNING: {self.dataset} original-resolution validation "
+                    f"requires valid_batch_size=1 (got {image.shape[0]}); "
+                    "epoch mIoU is computed at network resolution")
             if post:
                 logits_np = np.asarray(jax.device_get(logits))[:, :oh, :ow]
                 logits_np, label_np = self.post_process_output(
@@ -592,10 +623,18 @@ class Trainer:
             return logits, label
         if "pw_ph_stride" in metadata:
             pw, ph, stride = metadata["pw_ph_stride"]
+            # the reference crops the LABEL alongside the logits
+            # (HRNet_Manager.py:62-64); without it a 'resize' val pipeline
+            # (pw_ph_stride set, original_labels absent) hands mismatched
+            # shapes to the confusion matrix (ADVICE r4)
             if pw > 0:
                 logits = logits[:, :, :logits.shape[2] - pw]
+                if label.shape[-1] == logits.shape[2] + pw:
+                    label = label[..., :label.shape[-1] - pw]
             if ph > 0:
                 logits = logits[:, :logits.shape[1] - ph]
+                if label.shape[-2] == logits.shape[1] + ph:
+                    label = label[..., :label.shape[-2] - ph, :]
         if "original_labels" in metadata:
             orig = np.asarray(metadata["original_labels"])
             logits = np.asarray(jax.device_get(resize_bilinear(

@@ -18,6 +18,10 @@ marked tests are skipped and the virtual-CPU suite runs as before:
 """
 import os
 
+# TB event emission is covered by test_logger_tb (which re-enables it); the
+# dozens of Trainer e2e tests shouldn't each pay SummaryWriter setup.
+os.environ.setdefault("MSCS_TB", "0")
+
 TPU_MODE = os.environ.get("MSCS_TPU_TESTS") == "1"
 
 if not TPU_MODE:

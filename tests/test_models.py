@@ -125,6 +125,21 @@ def test_swin_remat_matches_plain(rng_np):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_swin_remat_rejects_unknown_value():
+    """ADVICE r4: 'stage9'/'Stage2'/'true' used to silently disable remat
+    (-> unexplained OOM); unknown values must raise at trace time."""
+    import pytest
+    x = jnp.ones((1, 32, 32, 3))
+    for bad in ("stage9", "Stage2", "true"):
+        model = SwinTransformer("swinT", drop_path_rate=0.0, remat=bad)
+        with pytest.raises(ValueError, match="use_checkpoint"):
+            model.init(jax.random.key(0), x, train=False)
+    # every valid spelling still traces
+    for ok in (False, True, "all", "stage0", "stage3"):
+        SwinTransformer("swinT", drop_path_rate=0.0, remat=ok).init(
+            jax.random.key(0), x, train=False)
+
+
 def test_swin_ape_and_dropout_options():
     """Reference surface: ape + drop_rate/attn_drop_rate (ref Swin.py:525-560,
     589-597).  ape adds an interpolated absolute position embedding; dropout

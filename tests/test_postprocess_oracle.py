@@ -106,6 +106,59 @@ def test_post_process_output_matches_reference(h, w):
 
 
 @requires_reference
+def test_post_process_crops_label_without_original_labels():
+    """ADVICE r4: a 'resize' val pipeline sets pw_ph_stride but NOT
+    original_labels.  Upstream cannot handle this combination at all: its
+    sh_sw_in_out branch reads metadata['original_labels'] unconditionally
+    (HRNet_Manager.py:78 -> KeyError), and its pad-crop of the label uses the
+    ALREADY-cropped output size (:62-63), a latent double-crop masked by the
+    original_labels replacement.  This framework instead crops the label by
+    exactly the recorded pad so the confusion matrix sees matching shapes —
+    verified here; the upstream KeyError is pinned to document the
+    divergence."""
+    ref_tf = import_reference_module("utils.transforms")
+    ref_mgr = import_reference_module("managers.HRNet_Manager")
+    from mscs_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(11)
+    img, lbl = _record(rng, 123, 187)
+    r = ref_tf.Resize("PASCALC", 1, min_side_length=160, fit_stride=32,
+                      return_original_labels=False)
+    # upstream only returns metadata when the dict passed in is truthy
+    r_img, r_lbl, meta = r((img, lbl, {"index": 0}))
+    assert "original_labels" not in meta
+    pw, ph, _ = meta["pw_ph_stride"]
+    assert (pw, ph) != (0, 0)
+    oh, ow = np.asarray(r_lbl).shape
+    logits = rng.standard_normal((1, 59, oh, ow)).astype(np.float32)
+
+    fake_self = types.SimpleNamespace(
+        dataset="PASCALC",
+        model=types.SimpleNamespace(align_corners=True))
+    t_img = torch.from_numpy(
+        np.asarray(r_img, np.float32).transpose(2, 0, 1))[None]
+    t_lbl = torch.from_numpy(np.asarray(r_lbl))[None]
+    with pytest.raises(KeyError, match="original_labels"):
+        ref_mgr.HRNetManager.post_process_output(
+            fake_self, t_img, torch.from_numpy(logits), t_lbl, meta)
+
+    our_self = types.SimpleNamespace(
+        config={"graph": {"align_corners": True},
+                "data": {"dataset": "PASCALC"}})
+    our_out, our_lbl = Trainer.post_process_output(
+        our_self, logits.transpose(0, 2, 3, 1), np.asarray(r_lbl)[None],
+        meta)
+    assert np.asarray(our_out).shape[1:3] == (oh - ph, ow - pw)
+    assert np.asarray(our_out).shape[1:3] == np.asarray(our_lbl).shape[-2:]
+    # the kept region is the unpadded content, bit-identical to the inputs
+    np.testing.assert_array_equal(
+        np.asarray(our_lbl)[0], np.asarray(r_lbl)[:oh - ph, :ow - pw])
+    np.testing.assert_array_equal(
+        np.asarray(our_out),
+        logits.transpose(0, 2, 3, 1)[:, :oh - ph, :ow - pw])
+
+
+@requires_reference
 def test_post_process_is_reference_noop_for_cityscapes():
     """Upstream gates the un-resize to PASCALC/ADE20K (HRNet_Manager.py:57);
     a CITYSCAPES record with metadata must pass through untouched."""

@@ -167,6 +167,16 @@ def test_per_replica_anchors_validation(tmp_path):
     assert np.isfinite(metrics["best_loss"])
 
 
+def test_resolve_anchor_groups_accepts_explicit_int():
+    """ADVICE r4: paper DDP parity (4 replicas x bs 3) must be expressible
+    independent of the mesh device count."""
+    from mscs_tpu.train.trainer import resolve_anchor_groups
+    assert resolve_anchor_groups(True, 8) == 8      # true -> mesh size
+    assert resolve_anchor_groups(4, 8) == 4         # int -> pinned count
+    assert resolve_anchor_groups(False, 8) is None
+    assert resolve_anchor_groups(None, 8) is None
+
+
 def test_trainer_steps_per_call_equivalence(tmp_path):
     """train.steps_per_call=2 (scanned dispatches + unstacked partial tail)
     advances the same trajectory as step-at-a-time: identical step count and
