@@ -350,11 +350,14 @@ def build_tta(apply_fn, config: dict, num_classes: int, mesh=None):
             pad_value=-mean / std, mesh=mesh)
     if dataset == "ADE20K" and "strides" in config:
         crop = tv.get("crop_shape", [512, 512])
+        # img_scale (2048, 512) from ref TTAWrapperSlide.py:28-39;
+        # tta_img_scale overrides it for test-sized walks (RUNBOOK dry-run)
         return SlidingWindowTTA(
             apply_fn, num_classes, scales, flip=flip, crop_size=crop,
             strides=config["strides"], base_size=base or 512,
-            size_mode="fixed", fixed_hw=(2048, 512), grid_mode="clamp",
-            flip_mode="both", whole_image="never", align_corners=align,
-            mesh=mesh)
+            size_mode="fixed",
+            fixed_hw=tuple(config.get("tta_img_scale", (2048, 512))),
+            grid_mode="clamp", flip_mode="both", whole_image="never",
+            align_corners=align, mesh=mesh)
     return TTAWrapper(apply_fn, num_classes, scales, flip=flip,
                       align_corners=align)

@@ -40,7 +40,8 @@ class FPNHead(nn.Module):
             p = ConvBN(self.ppm_channels, 1, 1, padding=0, relu=True,
                        name=f"ppm_conv{si}")(p, train)
             ppm.append(p)
-        feature = ConvBN(self.fpn_channels, 3, 1, relu=True, use_bias=True,
+        # conv3x3 helper is bias-free (ref utils/torch_utils.py:107-119)
+        feature = ConvBN(self.fpn_channels, 3, 1, relu=True,
                          name="ppm_last_conv")(jnp.concatenate(ppm, -1), train)
 
         n_lvl = len(conv_out)
@@ -51,17 +52,21 @@ class FPNHead(nn.Module):
             feature = lateral + resize_bilinear(
                 feature, lateral.shape[1:3], align_corners=self.align_corners)
             fpn_features.append(
-                ConvBN(self.fpn_channels, 3, 1, relu=True, use_bias=True,
+                ConvBN(self.fpn_channels, 3, 1, relu=True,
                        name=f"fpn_out{n_lvl - i}")(feature, train))
         fpn_features.reverse()  # [P2 .. P5]
 
         out_hw = fpn_features[0].shape[1:3]
+        # reference fusion concat order is [P2, P5, P4, P3] — it appends
+        # fpn_feature_list[-i+1] for i=2..n (ref UPerNet.py:96-101), i.e.
+        # deepest-first after P2.  Channel order matters for conv_last
+        # weight parity with converted checkpoints.
         fusion = [fpn_features[0]] + [
             resize_bilinear(f, out_hw, align_corners=self.align_corners)
-            for f in fpn_features[1:]
+            for f in fpn_features[:0:-1]
         ]
         fusion_out = jnp.concatenate(fusion, axis=-1)
-        h = ConvBN(self.fpn_channels, 3, 1, relu=True, use_bias=True,
+        h = ConvBN(self.fpn_channels, 3, 1, relu=True,
                    name="conv_last_cbr")(fusion_out, train)
         logits = Conv(self.num_classes, 1, 1, padding=0, name="conv_last_cls")(h)
         return logits, fpn_features, fusion_out

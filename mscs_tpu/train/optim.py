@@ -6,6 +6,14 @@ decoupled AdamW, and per-key ``opt_keys`` {lr_mult, wd_mult} groups (used by
 the Swin recipe to zero weight decay on pos-embed / norm / relative position
 bias tables).  Param-group membership = substring match on the
 '/'-joined parameter path, like torch's dotted-name ``in`` test.
+
+One naming translation keeps the match torch-faithful: our ``ConvBN``
+scopes its BatchNorm as ``<x>/norm/bn/...``, but in torch those BNs live in
+``nn.Sequential`` slots with NUMERIC names (``fpn.ppm_conv.0.1.weight``) —
+so the upnswin recipe's ``"norm"`` opt_key does NOT zero their weight decay
+upstream (only LayerNorms, whose torch names contain 'norm', get wd 0).
+Matching therefore runs on the path with ``/norm/bn/`` rewritten to
+``/bn/`` so ConvBN statistics params group exactly like the reference's.
 """
 from __future__ import annotations
 
@@ -16,7 +24,8 @@ import optax
 
 
 def _path_str(path) -> str:
-    return "/".join(str(getattr(k, "key", k)) for k in path)
+    name = "/".join(str(getattr(k, "key", k)) for k in path)
+    return name.replace("/norm/bn/", "/bn/")
 
 
 def _mask_for(params, predicate: Callable[[str], bool]):

@@ -324,6 +324,13 @@ def convert_hrnet_seg(sd: dict, graph_cfg: dict,
     p["cls_conv2"] = {"conv": {}}
     convert_conv(sd, "cls_head.2", p["cls_conv2"]["conv"])
 
+    _convert_projectors(sd, graph_cfg, p, bs)
+    return {"params": p, "batch_stats": bs}
+
+
+def _convert_projectors(sd: dict, graph_cfg: dict, p: dict, bs: dict) -> None:
+    """Graft torch ``projector_model.*`` stacks into `p`/`bs` (shared by the
+    per-model seg converters)."""
     for key, scope in (("ms_projector", "ms_projector"),
                        ("projector", "projector")):
         if key not in graph_cfg:
@@ -347,6 +354,67 @@ def convert_hrnet_seg(sd: dict, graph_cfg: dict,
         p[scope] = node_p
         if node_b:
             bs[scope] = node_b
+
+
+def _convbn_node(sd: dict, conv_prefix: str,
+                 bn_prefix: str) -> tuple[dict, dict]:
+    """torch (Conv2d, BatchNorm2d) pair -> our ``ConvBN`` params/batch_stats
+    subtrees (layers.py: X/conv/conv + X/norm/bn)."""
+    p: dict[str, Any] = {"conv": {"conv": {}}, "norm": {"bn": {}}}
+    b: dict[str, Any] = {"norm": {"bn": {}}}
+    convert_conv(sd, conv_prefix, p["conv"]["conv"])
+    convert_bn(sd, bn_prefix, p["norm"]["bn"], b["norm"]["bn"])
+    return p, b
+
+
+def convert_upernet_seg(sd: dict, graph_cfg: dict,
+                        variant: str = "swinT") -> dict:
+    """Full reference UPerNet seg model (``models/UPerNet.py:110-269``)
+    state_dict -> our ``UPerNet`` variables: Swin backbone + PPM/FPN head +
+    aux head + (ms_)projector.  Torch naming pinned by the reference's
+    constructors: ``fpn.ppm_conv.{i}.{0,1}``, ``fpn.ppm_last_conv.{0,1}``,
+    ``fpn.fpn_in.{j}.{0,1}``, ``fpn.fpn_out.{j}.0.{0,1}``,
+    ``fpn.conv_last.{0.0,0.1,2}`` (conv3x3 helper is bias-free,
+    ref ``utils/torch_utils.py:107-119``), ``aux_head.{0,1,4}``.  Used by the
+    upnswin parity harness to start both frameworks from identical weights."""
+    sd = strip_module_prefix(sd)
+    bb_sd = {k[len("backbone."):]: v for k, v in sd.items()
+             if k.startswith("backbone.")}
+    assert variant.startswith("swin"), (
+        "resnet-backboned UPerNet conversion not wired (no reference "
+        "recipe uses it)")
+    p: dict[str, Any] = {"backbone": convert_swin(bb_sd, variant)["params"]}
+    bs: dict[str, Any] = {}
+
+    fpn_p: dict[str, Any] = {}
+    fpn_b: dict[str, Any] = {}
+    n_ppm = len({k.split(".")[2] for k in sd
+                 if k.startswith("fpn.ppm_conv.")})
+    for si in range(n_ppm):
+        fpn_p[f"ppm_conv{si}"], fpn_b[f"ppm_conv{si}"] = _convbn_node(
+            sd, f"fpn.ppm_conv.{si}.0", f"fpn.ppm_conv.{si}.1")
+    fpn_p["ppm_last_conv"], fpn_b["ppm_last_conv"] = _convbn_node(
+        sd, "fpn.ppm_last_conv.0", "fpn.ppm_last_conv.1")
+    n_lat = len({k.split(".")[2] for k in sd if k.startswith("fpn.fpn_in.")})
+    for j in range(n_lat):
+        fpn_p[f"fpn_in{j}"], fpn_b[f"fpn_in{j}"] = _convbn_node(
+            sd, f"fpn.fpn_in.{j}.0", f"fpn.fpn_in.{j}.1")
+        fpn_p[f"fpn_out{j}"], fpn_b[f"fpn_out{j}"] = _convbn_node(
+            sd, f"fpn.fpn_out.{j}.0.0", f"fpn.fpn_out.{j}.0.1")
+    fpn_p["conv_last_cbr"], fpn_b["conv_last_cbr"] = _convbn_node(
+        sd, "fpn.conv_last.0.0", "fpn.conv_last.0.1")
+    fpn_p["conv_last_cls"] = {"conv": {}}
+    convert_conv(sd, "fpn.conv_last.2", fpn_p["conv_last_cls"]["conv"])
+    p["fpn"] = fpn_p
+    bs["fpn"] = fpn_b
+
+    if "aux_head.0.weight" in sd:
+        p["aux_cbr"], bs["aux_cbr"] = _convbn_node(sd, "aux_head.0",
+                                                   "aux_head.1")
+        p["aux_cls"] = {"conv": {}}
+        convert_conv(sd, "aux_head.4", p["aux_cls"]["conv"])
+
+    _convert_projectors(sd, graph_cfg, p, bs)
     return {"params": p, "batch_stats": bs}
 
 

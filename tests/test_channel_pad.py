@@ -1,5 +1,7 @@
 """channel_pad equivalence: the padded HRNet computes the identical function
 when unpadded weights are zero-embedded (the TPU lane-occupancy trick)."""
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -8,6 +10,7 @@ from mscs_tpu.models import build_model
 from mscs_tpu.utils.torch_convert import pad_hrnet_variables
 
 
+@pytest.mark.slow
 def test_padded_hrnet_matches_unpadded(rng_np):
     cfg = {"model": "HRNet", "dataset": "CITYSCAPES", "backbone": "hrnet18",
            "align_corners": True}

@@ -70,6 +70,7 @@ def _train_infer_check(cfg, expected_stems):
     return trainer, submit
 
 
+@pytest.mark.slow
 def test_ade20k_tree_end_to_end(tmp_path):
     rng = np.random.default_rng(0)
     root = tmp_path / "data" / "ADEChallengeData2016"
@@ -99,6 +100,7 @@ def test_ade20k_tree_end_to_end(tmp_path):
     assert vals.min() >= 1 and vals.max() <= 150
 
 
+@pytest.mark.slow
 def test_ade20k_test_split_dummy_targets(tmp_path):
     """The test split pairs images with remap(ones) dummy targets
     (ref ADE20K.py:65-75,103-104)."""
@@ -117,6 +119,7 @@ def test_ade20k_test_split_dummy_targets(tmp_path):
     assert set(np.unique(lbl)) == {0}
 
 
+@pytest.mark.slow
 def test_pascalc_tree_end_to_end(tmp_path):
     rng = np.random.default_rng(2)
     for split, n in [("train", 5), ("val", 3)]:
@@ -140,6 +143,7 @@ def test_pascalc_tree_end_to_end(tmp_path):
     assert any(trainer.log_dir.glob("*_infer.json"))
 
 
+@pytest.mark.slow
 def test_cadis_tree_end_to_end(tmp_path):
     rng = np.random.default_rng(3)
     rows = []

@@ -71,6 +71,7 @@ def test_grain_multihost_shard_disjoint():
     assert sorted(seen[0] + seen[1]) == list(range(20))
 
 
+@pytest.mark.slow
 def test_grain_worker_processes_same_output():
     """num_workers>1 spawns Grain worker processes; output must not change."""
     ds = _RandToy(8)
@@ -91,6 +92,7 @@ def test_build_loader_dispatch():
         build_loader("tfds", ds, 2)
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end_grain_backend(tmp_path):
     """Full synthetic train loop with data.loader_backend='grain'."""
     from tests.test_trainer import _tiny_config

@@ -18,6 +18,7 @@ def _init_apply(model, x, train=False):
     return (out[0], variables) if train else (out, variables)
 
 
+@pytest.mark.slow
 def test_deeplabv3_shapes():
     cfg = {"model": "DeepLabv3", "dataset": "CITYSCAPES", "backbone": "resnet50",
            "out_stride": 16, "align_corners": True,
@@ -52,6 +53,7 @@ def test_hrnet18_shapes():
     assert all(p.shape[-1] == 32 for p in proj)
 
 
+@pytest.mark.slow
 def test_ocrnet_resnet_output_order():
     cfg = {"model": "OCRNet", "dataset": "PASCALC", "backbone": "resnet50",
            "out_stride": 8,
@@ -64,6 +66,7 @@ def test_ocrnet_resnet_output_order():
     assert len(proj) == 2 and proj[0].shape[-1] == 32
 
 
+@pytest.mark.slow
 def test_swin_backbone_shapes():
     model = SwinTransformer("swinT", drop_path_rate=0.0)
     x = jnp.ones((1, 96, 96, 3))
@@ -73,6 +76,7 @@ def test_swin_backbone_shapes():
         (1, 24, 24, 96), (1, 12, 12, 192), (1, 6, 6, 384), (1, 3, 3, 768)]
 
 
+@pytest.mark.slow
 def test_swin_nondivisible_input():
     """Pad-to-window path: input not divisible by 4 * window."""
     model = SwinTransformer("swinT", drop_path_rate=0.0)
@@ -82,6 +86,7 @@ def test_swin_nondivisible_input():
     assert outs[0].shape == (1, 17, 14, 96)
 
 
+@pytest.mark.slow
 def test_upernet_swin_full_stack():
     cfg = {"model": "UPerNet", "dataset": "ADE20K", "backbone": "swinT",
            "align_corners": False, "drop_path_rate": 0.0,
@@ -111,6 +116,7 @@ def test_train_mode_updates_batch_stats():
                for a, b in zip(after, before))
 
 
+@pytest.mark.slow
 def test_swin_remat_matches_plain(rng_np):
     """use_checkpoint (remat) must not change values."""
     import numpy as np

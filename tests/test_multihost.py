@@ -6,6 +6,8 @@ code path (DDP spawn, BaseManager.py:106-145) exercised end-to-end for the
 sharded-jit design: global 8-device mesh across processes, per-host loader
 shards, global-batch train steps, and the dist helpers.
 """
+import pytest
+
 import os
 import socket
 import subprocess
@@ -21,6 +23,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_multihost_smoke():
     port = _free_port()
     env = dict(os.environ, PYTHONPATH=REPO)

@@ -68,6 +68,7 @@ def test_multi_head_channels_and_bf16():
     np.testing.assert_allclose(op, ox, rtol=0.05, atol=0.05)
 
 
+@pytest.mark.slow
 def test_pallas_under_remat_matches_no_remat():
     """use_checkpoint (nn.remat) around blocks containing the custom-vjp
     Pallas kernel: grads must equal the non-remat pallas grads (and the

@@ -65,6 +65,7 @@ def test_hrnet_backbone_activation_parity(ref_hrnet18, rng_np):
 
 
 @requires_reference
+@pytest.mark.slow
 def test_pretrained_full_path_via_trainer(ref_hrnet18, tmp_path):
     """config graph.pretrained=<path> flows through Trainer into the params."""
     from mscs_tpu.train.trainer import Trainer
@@ -105,6 +106,7 @@ def test_pretrained_full_path_via_trainer(ref_hrnet18, tmp_path):
 
 
 @requires_reference
+@pytest.mark.slow
 def test_pretrained_channel_pad_preserves_function(ref_hrnet18, tmp_path,
                                                    rng_np):
     """ImageNet weights into a channel_pad=64 HRNet: same function, padded
@@ -137,6 +139,7 @@ def test_pretrained_channel_pad_preserves_function(ref_hrnet18, tmp_path,
 
 
 @requires_reference
+@pytest.mark.slow
 def test_swin_full_model_activation_parity(rng_np):
     """Full Swin-T forward (patch embed, shifted windows, merging, per-stage
     norms) matches the reference implementation with converted weights."""
@@ -165,6 +168,7 @@ def test_swin_full_model_activation_parity(rng_np):
 
 
 @requires_reference
+@pytest.mark.slow
 def test_hrnet_backward_parity_f64(ref_hrnet18, rng_np):
     """Backward semantics match the reference exactly: grads of a scalar
     objective agree to ~1e-9 relative in float64 (train-mode BN, fuse

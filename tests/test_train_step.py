@@ -64,6 +64,7 @@ def test_train_step_single_device(rng_np):
     assert int(np.asarray(logs["confusion"]).sum()) == want
 
 
+@pytest.mark.slow
 def test_train_step_sharded_8dev(rng_np):
     assert jax.device_count() == 8, "conftest must force 8 cpu devices"
     mesh = make_mesh()
@@ -116,6 +117,7 @@ def test_multistep_semantics_exact():
         sum(np.asarray(l["confusion"]) for l in seq_logs))
 
 
+@pytest.mark.slow
 def test_multistep_matches_sequential(rng_np):
     """One scanned dispatch of K real train steps tracks K sequential calls.
 

@@ -155,6 +155,7 @@ def test_validate_shape_bucketing(tmp_path):
     assert pimg2.shape == img.shape and plbl2.shape == lbl.shape
 
 
+@pytest.mark.slow
 def test_per_replica_anchors_validation(tmp_path):
     """Regression: per_replica_anchors groups the TRAIN loss by mesh size,
     but validation (bs 1, like upstream's rank-0 eval) must run ungrouped —
@@ -177,6 +178,7 @@ def test_resolve_anchor_groups_accepts_explicit_int():
     assert resolve_anchor_groups(None, 8) is None
 
 
+@pytest.mark.slow
 def test_trainer_steps_per_call_equivalence(tmp_path):
     """train.steps_per_call=2 (scanned dispatches + unstacked partial tail)
     advances the same trajectory as step-at-a-time: identical step count and

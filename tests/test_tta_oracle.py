@@ -86,6 +86,7 @@ def _compare(ours_nhwc, ref_nchw, atol):
 
 
 @requires_reference
+@pytest.mark.slow
 def test_cts_protocol_matches_reference(oracle):
     x = jnp.asarray(oracle["cts.image"].transpose(0, 2, 3, 1))
     tta = SlidingWindowTTA(
@@ -97,6 +98,7 @@ def test_cts_protocol_matches_reference(oracle):
 
 
 @requires_reference
+@pytest.mark.slow
 def test_slide_protocol_matches_reference(oracle):
     x = jnp.asarray(oracle["slide.image"].transpose(0, 2, 3, 1))
     tta = SlidingWindowTTA(

@@ -66,6 +66,14 @@ def make_batches(steps: int, bs: int, hw: int, seed: int = 42,
     batches = []
     for _ in range(steps):
         coarse = rng.integers(0, 19, (bs, blocks, blocks))
+        if blocks == 2:
+            # guarantee one class reaches min_views (5) at the deepest
+            # (1/32) contrastive scale in EVERY image: duplicate a quadrant
+            # (2 quadrants = 8 px of a 4x4 map).  Without this the
+            # reference crashes stochastically when all four quadrants are
+            # distinct (torch.min on empty, DenseContrastiveLossV2.py:110;
+            # hit on the upnswin ms_cs run, r5).
+            coarse[:, 1, 1] = coarse[:, 0, 0]
         lbl = np.kron(coarse, np.ones((1, hw // blocks, hw // blocks),
                                       np.int64)).astype(np.int64)
         if signal:
@@ -229,6 +237,166 @@ def run_ours(sd0, batches, loss_name: str, total_steps: int, platform: str,
     return curves, miou
 
 
+# ---------------------------------------------------------------- upnswin
+# The ADE20K paper recipe (configs/ADE20K/upnswin_contrastive_ADE20K.json):
+# UPerNet Swin-T + TwoScale CE(0.4/1.0) [+ DC-ms-cs], AdamW 6e-5 wd .01
+# betas (.9,.999), linear-warmup-poly batchwise, wd_mult 0 for
+# absolute_pos_embed/norm/relative_position_bias_table (ref
+# utils/optimizer_utils.py:34-132).  Stochastic paths (drop_path, dropouts)
+# are zeroed so the CE term is deterministic given weights+batch.
+GRAPH_UPN = {
+    "model": "UPerNet", "dataset": "ADE20K", "backbone": "swinT",
+    "align_corners": False, "pretrained": False, "out_stride": 32,
+    "drop_path_rate": 0.0, "dropout_rate": 0.0,
+    "aux_head": {"in_index": 3, "dropout_rate": 0.0},
+}
+MS_PROJECTOR_UPN = {"mlp": [[1, -1, 1]], "scales": 4, "d": 256,
+                    "use_bn": True, "position": "fpn"}
+LR_UPN, WD_UPN, BETAS_UPN = 6e-5, 0.01, (0.9, 0.999)
+# warmup_iters shrunk from the paper's 1500 so a short run exercises BOTH
+# schedule phases; identical on both sides.
+WARMUP_ITERS = 10
+OPT_KEYS_UPN = {"absolute_pos_embed": {"wd_mult": 0.0},
+                "norm": {"wd_mult": 0.0},
+                "relative_position_bias_table": {"wd_mult": 0.0}}
+
+
+def _upn_loss_cfg(loss_name: str) -> dict:
+    cfg = {
+        "dataset": "ADE20K", "experiment": 1, "device": "cpu",
+        "interm": {"name": "CrossEntropyLoss", "args": [], "weight": 0.4},
+        "final": {"name": "CrossEntropyLoss", "args": [], "weight": 1.0},
+        "losses": {"TwoScaleLoss": 1},
+    }
+    if loss_name != "ce":
+        cfg.update({
+            "temperature": 0.1, "cross_scale_contrast": True,
+            "weights": [1, 0.7, 0.4, 0.1], "scales": 4,
+            "label_scaling_mode": "nn", "dominant_mode": "all",
+            "min_views_per_class": 5, "max_views_per_class": 2500,
+            "max_features_total": 2048,
+            "losses": {"TwoScaleLoss": 1,
+                       "DenseContrastiveLossV2_ms": 0.1},
+        })
+    return cfg
+
+
+def run_reference_upn(batches, loss_name: str, total_steps: int,
+                      seed: int = 0):
+    import torch
+    from _reference_oracle import import_reference_module
+
+    torch.Tensor.cuda = lambda self, *a, **k: self  # CPU oracle
+    up = import_reference_module("models.UPerNet")
+    lw = import_reference_module("losses.LossWrapper")
+    lrf = import_reference_module("utils.lr_functions")
+    ou = import_reference_module("utils.optimizer_utils")
+    torch.manual_seed(seed)
+
+    graph = {k: (dict(v) if isinstance(v, dict) else v)
+             for k, v in GRAPH_UPN.items()}
+    if loss_name != "ce":
+        graph["ms_projector"] = {
+            k: ([list(x) for x in v] if k == "mlp" else v)
+            for k, v in MS_PROJECTOR_UPN.items()}
+    model = up.UPerNet(graph, experiment=1)
+    model.train()
+    # the reference builds its Swin from the HARDCODED backbone_config table
+    # (Swin.py:21-37, drop_path_rate 0.3; UPerNet.py:178-183 ignores the
+    # graph override) — zero every stochastic module so the CE term is
+    # deterministic; ours runs with drop_path_rate 0.0 from the graph.
+    for m in model.modules():
+        if isinstance(m, (torch.nn.Dropout, torch.nn.Dropout2d)):
+            m.p = 0.0
+        if hasattr(m, "drop_prob"):
+            m.drop_prob = 0.0
+    wrapper = lw.LossWrapper(_upn_loss_cfg(loss_name))
+    groups = ou.get_param_groups_using_keys(
+        model, {"train": {"learning_rate": LR_UPN, "weight_decay": WD_UPN,
+                          "opt_keys": OPT_KEYS_UPN}})
+    opt = torch.optim.AdamW(groups, lr=LR_UPN, betas=BETAS_UPN,
+                            weight_decay=WD_UPN)
+    lr_fct = lrf.LRFcts({"learning_rate": LR_UPN,
+                         "lr_fct": "linear-warmup-polynomial",
+                         "lr_batchwise": True, "lr_restart_vals": 1,
+                         "lr_params": {"power": 1.0,
+                                       "warmup_iters": WARMUP_ITERS,
+                                       "warmup_rate": 1e-6, "min_lr": 0.0}},
+                        [], total_steps)
+    sched = torch.optim.lr_scheduler.LambdaLR(opt, lr_fct)
+
+    sd0 = {k: v.detach().clone() for k, v in model.state_dict().items()}
+    curves = []
+    for img, lbl in batches:
+        x, y = torch.from_numpy(img), torch.from_numpy(lbl)
+        opt.zero_grad()
+        out = model(x)
+        if loss_name == "ce":
+            interm, logits = out
+            feats = None
+        else:
+            interm, logits, feats = out
+        loss = wrapper(logits, y, deep_features=feats,
+                       interm_prediction=interm, epoch=1)
+        loss.backward()
+        opt.step()
+        sched.step()
+        rec = {"loss": float(loss.detach())}
+        rec.update({k: float(v) for k, v in wrapper.loss_vals.items()})
+        curves.append(rec)
+        print(f"ref step {len(curves)-1}: {rec}", flush=True)
+    return sd0, curves, None
+
+
+def run_ours_upn(sd0, batches, loss_name: str, total_steps: int,
+                 platform: str):
+    if platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    from mscs_tpu.losses import LossWrapper
+    from mscs_tpu.models import build_model
+    from mscs_tpu.train import (TrainState, build_optimizer, make_lr_schedule,
+                                make_train_step, output_flags)
+    from mscs_tpu.utils.torch_convert import convert_upernet_seg
+
+    graph = dict(GRAPH_UPN)
+    if loss_name != "ce":
+        graph["ms_projector"] = dict(MS_PROJECTOR_UPN)
+    model = build_model(graph, experiment=1)
+    wrapper = LossWrapper.from_config(_upn_loss_cfg(loss_name))
+    converted = convert_upernet_seg(sd0, graph, "swinT")
+
+    sched = make_lr_schedule(
+        {"learning_rate": LR_UPN, "lr_fct": "linear-warmup-polynomial",
+         "lr_batchwise": True,
+         "lr_params": {"power": 1.0, "warmup_iters": WARMUP_ITERS,
+                       "warmup_rate": 1e-6, "min_lr": 0.0}},
+        [], total_steps)
+    tx = build_optimizer({"optim": "AdamW", "weight_decay": WD_UPN,
+                          "betas": list(BETAS_UPN),
+                          "opt_keys": OPT_KEYS_UPN},
+                         sched, converted["params"])
+    state = TrainState.create(apply_fn=model.apply,
+                              params=converted["params"],
+                              batch_stats=converted["batch_stats"], tx=tx)
+    has_interm, has_proj = output_flags(graph)
+    step = jax.jit(make_train_step(wrapper, 150, has_interm=has_interm,
+                                   has_proj=has_proj))
+    curves = []
+    rng = jax.random.key(0)
+    for i, (img, lbl) in enumerate(batches):
+        batch = {"image": jnp.asarray(img.transpose(0, 2, 3, 1)),
+                 "label": jnp.asarray(lbl.astype(np.int32))}
+        state, logs = step(state, batch, jax.random.fold_in(rng, i), 1)
+        rec = {k: float(v) for k, v in logs.items()
+               if np.ndim(v) == 0 and k != "lr"}
+        curves.append(rec)
+        print(f"ours step {i}: {rec}", flush=True)
+    return curves, None
+
+
 def grad_check_f64():
     """One f64 forward+backward on the full hrnet48 seg model + CE from
     identical weights: proves fwd AND bwd semantics match the reference to
@@ -301,9 +469,11 @@ def grad_check_f64():
     return result
 
 
-def summarize(ref, ours, loss_name):
-    ce_r = np.array([r.get("CrossEntropyLoss", r["loss"]) for r in ref])
-    ce_o = np.array([r.get("CrossEntropyLoss", r["loss"]) for r in ours])
+def summarize(ref, ours, loss_name, det_term="CrossEntropyLoss"):
+    """det_term: the deterministic supervised term to curve-compare
+    (CrossEntropyLoss for hrnet, TwoScaleLoss for upnswin)."""
+    ce_r = np.array([r.get(det_term, r["loss"]) for r in ref])
+    ce_o = np.array([r.get(det_term, r["loss"]) for r in ours])
     out = {
         "steps": len(ref),
         "ce_max_abs_diff": float(np.max(np.abs(ce_r - ce_o))),
@@ -367,6 +537,9 @@ def endpoint_main(args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--loss", choices=["ce", "ms_cs"], default="ce")
+    ap.add_argument("--recipe", choices=["hrnet", "upnswin"], default="hrnet",
+                    help="upnswin = UPerNet Swin-T + TwoScale + AdamW "
+                         "warmup-poly + per-key wd (VERDICT r4 #8)")
     ap.add_argument("--steps", type=int, default=40)
     ap.add_argument("--bs", type=int, default=2)
     ap.add_argument("--hw", type=int, default=HW)
@@ -394,14 +567,23 @@ def main():
 
     blocks = args.blocks or (2 if args.loss == "ms_cs" else 8)
     batches = make_batches(args.steps, args.bs, args.hw, blocks=blocks)
-    sd0, ref_curves, _ = run_reference(batches, args.loss, args.steps)
-    our_curves, _ = run_ours(sd0, batches, args.loss, args.steps,
-                             args.platform)
-    summary = summarize(ref_curves, our_curves, args.loss)
-    result = {"loss": args.loss, "steps": args.steps, "bs": args.bs,
-              "hw": args.hw, "summary": summary,
+    if args.recipe == "upnswin":
+        sd0, ref_curves, _ = run_reference_upn(batches, args.loss, args.steps)
+        our_curves, _ = run_ours_upn(sd0, batches, args.loss, args.steps,
+                                     args.platform)
+        summary = summarize(ref_curves, our_curves, args.loss,
+                            det_term="TwoScaleLoss")
+    else:
+        sd0, ref_curves, _ = run_reference(batches, args.loss, args.steps)
+        our_curves, _ = run_ours(sd0, batches, args.loss, args.steps,
+                                 args.platform)
+        summary = summarize(ref_curves, our_curves, args.loss)
+    result = {"loss": args.loss, "recipe": args.recipe, "steps": args.steps,
+              "bs": args.bs, "hw": args.hw, "summary": summary,
               "ref": ref_curves, "ours": our_curves}
-    out = args.out or f"logs/parity_{args.loss}.json"
+    out = args.out or (f"logs/parity_{args.loss}.json"
+                       if args.recipe == "hrnet"
+                       else f"logs/parity_upnswin_{args.loss}.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump(result, f, indent=1)

@@ -57,10 +57,13 @@ def run_trace(out_dir: str, steps: int, fp32: bool, bs: int, hw: int,
     state, logs = step(state, batch_data, rng, 0)
     jax.block_until_ready(logs["loss"])
 
+    # fetch-anchored timing (bench.py r5): block_until_ready has acked
+    # before execution through the tunnel (this tool once printed 769 img/s
+    # wall against 408 ms/step device time)
     t0 = time.perf_counter()
     for _ in range(5):
         state, logs = step(state, batch_data, rng, 0)
-    jax.block_until_ready(logs["loss"])
+    float(logs["loss"])
     step_ms = (time.perf_counter() - t0) / 5 * 1000
 
     jax.profiler.start_trace(out_dir)

@@ -66,21 +66,53 @@ def make_fake_cityscapes(root: str, n_train: int = 4, n_val: int = 3,
                                     f"{name}_gtFine_labelIds.png"), lbl)
 
 
+def make_fake_ade20k(root: str, n_train: int = 4, n_val: int = 3) -> None:
+    """Minimal ADEChallengeData2016 tree, variable per-record shapes like the
+    real dataset (datasets/ADE20K.py:17-147; same helper family as
+    tests/test_fake_trees.py::_make_ade20k_tree) — exercises the
+    variable-shape bucketed validate path."""
+    rng = np.random.default_rng(0)
+    base = os.path.join(root, "ADEChallengeData2016")
+    for split, n in [("training", n_train), ("validation", n_val)]:
+        for i in range(n):
+            name = f"ADE_{split[:5]}_{i:08d}"
+            h, w = (96, 128) if i % 2 == 0 else (128, 96)
+            img = rng.integers(0, 256, (h, w, 3), np.uint8)
+            lbl = rng.integers(0, 151, (h, w)).astype(np.uint8)
+            _write_png(os.path.join(base, "images", split, f"{name}.jpg"),
+                       img)
+            _write_png(os.path.join(base, "annotations", split,
+                                    f"{name}.png"), lbl)
+
+
 def make_fake_imagenet_ckpt(root: str, variant: str = "hrnet18") -> str:
-    """Fabricate hrnetv2_w18_imagenet_pretrained.pth from the IMPORTED
-    reference backbone (random init — format-exact, value-arbitrary).
-    Same technique as tests/test_pretrained.py::test_pretrained_full_path."""
+    """Fabricate the ImageNet init checkpoint from the IMPORTED reference
+    backbone (random init — format-exact, value-arbitrary).  Same technique
+    as tests/test_pretrained.py::test_pretrained_full_path.  HRNet variants
+    save a bare state_dict under pytorch_checkpoints/hrnet/, Swin variants
+    the official ``{'model': sd}`` layout under swin_imagenet/ (ref
+    Swin.py:674-695)."""
     import torch
     from _reference_oracle import import_reference_module
-    m = import_reference_module("models.HRNet")
     torch.manual_seed(0)
-    net = m.HighResolutionNet(m.MODEL_CONFIGS[variant], mixing_layer=True,
-                              align_corners=True)
-    path = os.path.join(root, "pytorch_checkpoints", "hrnet",
-                        f"hrnetv2_w{variant[len('hrnet'):]}"
-                        "_imagenet_pretrained.pth")
+    if variant.startswith("hrnet"):
+        m = import_reference_module("models.HRNet")
+        net = m.HighResolutionNet(m.MODEL_CONFIGS[variant],
+                                  mixing_layer=True, align_corners=True)
+        path = os.path.join(root, "pytorch_checkpoints", "hrnet",
+                            f"hrnetv2_w{variant[len('hrnet'):]}"
+                            "_imagenet_pretrained.pth")
+        payload = net.state_dict()
+    else:
+        from mscs_tpu.utils.pretrained import SWIN_CHECKPOINT_NAMES
+        m = import_reference_module("models.Swin")
+        stem = SWIN_CHECKPOINT_NAMES[variant]
+        net = m.SwinTransformer(pretrained=False, name=stem)
+        path = os.path.join(root, "pytorch_checkpoints", "swin_imagenet",
+                            f"{stem}_patch4_window7_224.pth")
+        payload = {"model": net.state_dict()}
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    torch.save(net.state_dict(), path)
+    torch.save(payload, path)
     return path
 
 
@@ -172,9 +204,17 @@ def step_eval_parity(ctx):
     gcfg = dict(gcfg)
     gcfg.pop("pretrained", None)
     variant = gcfg.get("backbone", "hrnet48")
-    assert variant.startswith("hrnet"), (
-        "eval_parity currently wraps the HRNet converter "
-        "(convert_hrnet_seg); for other models use tools/parity_train.py")
+    if gcfg.get("model", "HRNet") != "HRNet" or \
+            not variant.startswith("hrnet"):
+        # trained-checkpoint eval-parity wraps the HRNet seg converter
+        # (convert_hrnet_seg); the OCR/UPerNet heads have no trained-ckpt
+        # converter (the reference published none to convert).  Their
+        # loss/optimizer semantics are covered head-to-head by
+        # tools/parity_train.py (PARITY.md upnswin row) and the ImageNet
+        # BACKBONE converters ran in step_convert above.
+        return {"skipped": f"no trained-seg converter for "
+                           f"{gcfg.get('model')}/{variant}; covered by "
+                           "tools/parity_train.py + step_convert"}
 
     ckpt = torch.load(ref_ckpt, map_location="cpu", weights_only=False)
     sd = ckpt.get("model_state_dict", ckpt)
@@ -291,33 +331,56 @@ def main():
 
     os.environ.setdefault("JAX_PLATFORMS", os.environ.get("JAX_PLATFORMS",
                                                           ""))
-    tmp = None
-    if args.dry_run:
-        # dry-run is a machinery check, not a perf check: CPU + tiny hrnet18
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        tmp = tempfile.TemporaryDirectory(prefix="real_data_day_")
-        args.data_path = tmp.name
-        make_fake_cityscapes(tmp.name)
-        from _reference_oracle import reference_available
-        if reference_available():
-            make_fake_imagenet_ckpt(tmp.name)
-    assert args.data_path, "--data-path required (or --dry-run)"
-
     from mscs_tpu.config import parse_config
     config = parse_config(args.config, user="c", device=-1, dataset=-1,
                           parallel=False)
+    dataset = config["data"]["dataset"]
+    backbone = config["graph"].get("backbone", "hrnet48")
+
+    tmp = None
+    if args.dry_run:
+        # dry-run is a machinery check, not a perf check: CPU + the smallest
+        # backbone of the config's family (hrnet18 / swinT)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        tmp = tempfile.TemporaryDirectory(prefix="real_data_day_")
+        args.data_path = tmp.name
+        if dataset == "ADE20K":
+            make_fake_ade20k(tmp.name)
+        else:
+            make_fake_cityscapes(tmp.name)
+        small_backbone = ("hrnet18" if backbone.startswith("hrnet")
+                          else "swinT")
+        from _reference_oracle import reference_available
+        if reference_available():
+            make_fake_imagenet_ckpt(tmp.name, small_backbone)
+    assert args.data_path, "--data-path required (or --dry-run)"
+
     config["data_path"] = args.data_path
     if args.dry_run:
         # shrink to walkable size; same config surface, tiny shapes
-        config["graph"].update({"backbone": "hrnet18"})
+        config["graph"].update({"backbone": small_backbone})
         config["graph"].get("ms_projector", {}).update({"d": 16})
-        config["data"]["transform_values"]["crop_shape"] = [48, 48]
+        # 64 keeps every out_stride-32 head shape valid (UPerNet PPM pools)
+        crop = 48 if small_backbone.startswith("hrnet") else 64
+        config["data"]["transform_values"]["crop_shape"] = [crop, crop]
+        tvv = config["data"].get("transform_values_val", {})
+        if "min_side_length" in tvv:
+            # keep the resize_val/fit_stride protocol but at walkable size
+            # (still exercises pw_ph_stride metadata + bucketed validate)
+            tvv["min_side_length"] = crop
         config["data"]["batch_size"] = 2
         config["data"]["num_workers"] = 0
         config["loss"]["max_features_total"] = 256
         config["train"]["epochs"] = 1
         config["tta_scales"] = [0.5]
         config["tta_base_size"] = 64
+        if dataset == "ADE20K":
+            # exercise the Slide-protocol engine (ref TTAWrapperSlide
+            # dispatch requires 'strides'; img_scale shrunk to walk size)
+            config["strides"] = [crop // 2, crop // 2]
+            # at the walk's single 0.5 scale this resizes to (2*crop, crop):
+            # a 3x1 crop grid — the full slide machinery at test size
+            config["tta_img_scale"] = [4 * crop, 2 * crop]
         config["compilation_cache_dir"] = ""
 
     log_dir = os.path.join(REPO, "logs")
@@ -339,7 +402,8 @@ def main():
            "data_path": args.data_path, "records": args.records,
            "ref_checkpoint": args.ref_checkpoint, "trainer": trainer}
     if args.dry_run and not args.ref_checkpoint and \
-            "eval_parity" in args.steps:
+            "eval_parity" in args.steps and \
+            config["graph"].get("model", "HRNet") == "HRNet":
         from _reference_oracle import reference_available
         if reference_available():
             ctx["ref_checkpoint"], ctx["ref_graph"] = make_fake_trained_ckpt(
@@ -365,7 +429,12 @@ def main():
             failed = name
             break
 
-    out_path = os.path.join(log_dir, "real_data_day.json")
+    # per-recipe summary files: real_data_day.json for the flagship CTS
+    # config (back-compat), real_data_day_<name>.json otherwise
+    stem = os.path.splitext(os.path.basename(args.config))[0]
+    suffix = "" if stem == "hrnet_contrastive_CTS" else \
+        "_" + stem.split("_")[0]
+    out_path = os.path.join(log_dir, f"real_data_day{suffix}.json")
     with open(out_path, "w") as f:
         json.dump({"dry_run": args.dry_run, "config": args.config,
                    "results": results}, f, indent=2, default=str)

@@ -57,9 +57,14 @@ def main():
     n = 10
     for _ in range(n):
         state, logs = stepj(state, batch, rng, 0)
-    jax.block_until_ready(logs["loss"])
+    # time at a D2H FETCH of the chained loss, not block_until_ready: the
+    # tunnel has repeatedly acked readiness before execution finished
+    # (bench.py r5 note; profile_step once printed 769 img/s wall against
+    # 408 ms/step device time).  A value cannot reach the host before the
+    # work defining it ran.
+    last = float(logs["loss"])
     dt = time.perf_counter() - t0
-    print(f"loss {first:.4f} -> {float(logs['loss']):.4f} over {n} steps")
+    print(f"loss {first:.4f} -> {last:.4f} over {n} steps")
     print(f"{args.recipe} bs{args.bs} {args.hw}^2 "
           f"{'fp32' if args.fp32 else 'bf16'}: "
           f"{args.bs * n / dt:.1f} img/s ({dt / n * 1000:.1f} ms/step)")
