@@ -65,12 +65,17 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, 0.0)
 
 
-def resolve_attn_impl(impl: str, attn_drop: float, train: bool) -> str:
+def resolve_attn_impl(impl: str, attn_drop: float, train: bool,
+                      n_windows: int = 0) -> str:
     """'auto' picks the fused Pallas window-attention kernel on TPU.
 
     The kernel (ops/pallas_window_attn.py) does not implement attention
     dropout, so auto falls back to XLA when ``attn_drop > 0`` and training.
+    Wide window grids (whole-image TTA shapes, e.g. 28x55 windows) are
+    handled by the kernel's footprint-derived vmem limit (r5) — no
+    grid-size fallback needed.
     """
+    del n_windows  # kept for call-site stability; not a fallback axis
     if impl in ("pallas", "xla"):
         return impl
     if attn_drop > 0.0 and train:
@@ -177,7 +182,8 @@ class SwinBlock(nn.Module):
                                attn_drop=self.attn_drop_rate,
                                proj_drop=self.drop_rate,
                                name="attn")
-        impl = resolve_attn_impl(self.attn_impl, self.attn_drop_rate, train)
+        impl = resolve_attn_impl(self.attn_impl, self.attn_drop_rate, train,
+                                 n_windows=(hp // ws) * (wp // ws))
         if impl == "pallas":
             # fused kernel: window partition/unpartition happen inside
             # (ops/pallas_window_attn.py), no (B*nW, N, C) round trip

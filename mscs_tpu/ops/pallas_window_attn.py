@@ -135,6 +135,31 @@ def _flops(b, nwr, nwc, n, c, *, bwd: bool) -> int:
     return per * b * nwr * nwc * (3 if bwd else 1)
 
 
+_VMEM_CAP = 100 << 20  # v5e has 128 MB/core; leave headroom
+
+# Max windows per kernel grid step.  Training grids (512² -> 19) fit the
+# default scoped budget; wider rows are re-chunked in the NHWC wrapper.
+_NWC_MAX = 32
+
+
+def _compiler_params(nwc, n, c, itemsize, heads, mask_cols, *, bwd: bool):
+    """Footprint-derived scoped-vmem limit.
+
+    The default 16 MB limit fails at WIDE window rows: eval/TTA shapes like
+    1024x2048-derived grids make the per-step (1,1,nwc,n,c) blocks big
+    enough that double-buffered q/k/v/out (+grads) exceed it by a hair
+    ("Scoped allocation with size 16.19M and limit 16.00M", r5
+    logs/tta_swinl.log).  Training grids (nwc<=19) fit the default."""
+    block = nwc * n * c * itemsize
+    bias = heads * n * n * 4
+    mask = max(mask_cols, 1) * n * n * 4
+    n_blocks = 7 if bwd else 4                   # q,k,v,(do,dq,dk,dv)|out
+    need = 2 * (n_blocks * block + bias + mask + (bias if bwd else 0))
+    need += 4 << 20                              # scratch/regalloc slack
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=max(16 << 20, min(need, _VMEM_CAP)))
+
+
 def _fwd_call(q, k, v, bias, mask, *, heads, scale):
     b, nwr, nwc, n, c = q.shape
     mask_cols = mask.shape[1]
@@ -150,6 +175,8 @@ def _fwd_call(q, k, v, bias, mask, *, heads, scale):
             flops=_flops(b, nwr, nwc, n, c, bwd=False),
             bytes_accessed=4 * q.size * q.dtype.itemsize,
             transcendentals=b * nwr * nwc * heads * n * n),
+        compiler_params=_compiler_params(nwc, n, c, q.dtype.itemsize,
+                                         heads, mask_cols, bwd=False),
         interpret=_interpret(),
     )(q, k, v, bias, mask)
 
@@ -172,6 +199,8 @@ def _bwd_call(q, k, v, bias, mask, do, *, heads, scale):
             flops=_flops(b, nwr, nwc, n, c, bwd=True),
             bytes_accessed=8 * q.size * q.dtype.itemsize,
             transcendentals=b * nwr * nwc * heads * n * n),
+        compiler_params=_compiler_params(nwc, n, c, q.dtype.itemsize,
+                                         heads, mask_cols, bwd=True),
         interpret=_interpret(),
     )(q, k, v, bias, mask, do)
     return dq, dk, dv, dbias
@@ -224,7 +253,36 @@ def window_attention_nhwc(q, k, v, bias, mask, *, num_heads: int,
         x = x.reshape(b, nwr, ws, nwc, ws, c)
         return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, nwr, nwc, n, c)
 
-    o = _window_attn(part(q), part(k), part(v), bias.astype(jnp.float32),
-                     mask, num_heads, scale)
+    qp, kp, vp = part(q), part(k), part(v)
+    if nwc > _NWC_MAX:
+        # Wide window rows (whole-image eval/TTA shapes, e.g. 28x55) blow
+        # Mosaic's scoped-vmem budget per grid step (r5: "Scoped allocation
+        # with size 87.06M", logs/tta_swinl.log).  Windows are an order-free
+        # axis and the shift mask is per-window data, so re-chunk
+        # (nwr, nwc) -> (ceil(nwr*nwc/_NWC_MAX), _NWC_MAX) with zero-padded
+        # tail windows (finite softmax over bias; output sliced away).
+        total = nwr * nwc
+        rows = -(-total // _NWC_MAX)
+        pad = rows * _NWC_MAX - total
+
+        def rechunk(x):
+            x = x.reshape(b, total, n, c)
+            if pad:
+                x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            return x.reshape(b, rows, _NWC_MAX, n, c)
+
+        qp, kp, vp = rechunk(qp), rechunk(kp), rechunk(vp)
+        if mask.shape[:2] != (1, 1):
+            m = mask.reshape(total, n, n)
+            if pad:
+                m = jnp.pad(m, ((0, pad), (0, 0), (0, 0)))
+            mask = m.reshape(rows, _NWC_MAX, n, n)
+        o = _window_attn(qp, kp, vp, bias.astype(jnp.float32), mask,
+                         num_heads, scale)
+        o = o.reshape(b, rows * _NWC_MAX, n, c)[:, :total]
+        o = o.reshape(b, nwr, nwc, n, c)
+    else:
+        o = _window_attn(qp, kp, vp, bias.astype(jnp.float32),
+                         mask, num_heads, scale)
     o = o.reshape(b, nwr, nwc, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
     return o.reshape(b, hp, wp, c)

@@ -198,3 +198,18 @@ def test_return_features_tsne_path():
     logits2, feats2 = model2.apply(v2, x, train=False, return_features=True)
     assert logits2.shape == (1, 64, 64, 150)
     assert [f.shape[-1] for f in feats2] == [96, 192, 384, 768]
+
+
+def test_attn_impl_auto_is_grid_size_independent():
+    """Wide per-image window grids (whole-image TTA shapes) are handled by
+    the kernel's footprint-derived vmem limit (r5: the 16 MB default scoped
+    limit overflowed by 192K at nwc=37 — logs/tta_swinl.log); 'auto' no
+    longer needs a grid-size fallback and explicit choices are honored."""
+    from mscs_tpu.models.swin import resolve_attn_impl
+    import jax
+    expect = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+    assert resolve_attn_impl("auto", 0.0, False, n_windows=1540) == expect
+    assert resolve_attn_impl("auto", 0.0, False, n_windows=361) == expect
+    assert resolve_attn_impl("pallas", 0.0, False, n_windows=1540) == "pallas"
+    assert resolve_attn_impl("xla", 0.0, False) == "xla"
+    assert resolve_attn_impl("auto", 0.1, True) == "xla"  # attn dropout

@@ -101,3 +101,32 @@ def test_pallas_under_remat_matches_no_remat():
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(vr), np.asarray(vx),
                                    rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("shift", [0, 3])
+def test_wide_grid_rechunk_matches_xla(shift):
+    """Window rows wider than _NWC_MAX are re-chunked (with zero-padded tail
+    windows) before the kernel (r5: whole-image TTA shapes overflowed the
+    scoped-vmem budget per grid step).  Values and grads must still match
+    the XLA path exactly."""
+    from mscs_tpu.ops import pallas_window_attn as pwa
+    assert pwa._NWC_MAX == 32
+    rng = np.random.default_rng(1)
+    # 14x245 -> window grid 2x35: nwc 35 > 32 forces the re-chunk (70
+    # windows -> 3 rows of 32 with 26 padded); shift exercises the
+    # per-window mask reshape
+    x = jnp.asarray(rng.normal(size=(1, 14, 245, 8)), jnp.float32)
+    kw = dict(dim=8, num_heads=2, window_size=7, shift_size=shift,
+              mlp_ratio=4.0, qkv_bias=True, drop_path=0.0)
+    blk_x = SwinBlock(**kw, attn_impl="xla")
+    blk_p = SwinBlock(**kw, attn_impl="pallas")
+    params = blk_x.init(jax.random.key(0), x, False)
+    ox = blk_x.apply(params, x, False)
+    op = blk_p.apply(params, x, False)
+    np.testing.assert_allclose(np.asarray(op), np.asarray(ox),
+                               rtol=1e-5, atol=1e-5)
+    gx = jax.tree.flatten(_grads(blk_x, params, x))[0]
+    gp = jax.tree.flatten(_grads(blk_p, params, x))[0]
+    for vx, vp in zip(gx, gp):
+        np.testing.assert_allclose(np.asarray(vp), np.asarray(vx),
+                                   rtol=1e-4, atol=1e-5)
