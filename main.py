@@ -10,9 +10,18 @@ through the data mesh; multi-host runs use --coordinator/--num-processes.
 from __future__ import annotations
 
 import argparse
+import os
+
+import jax
 
 from mscs_tpu.config import apply_loss_preset, parse_config
 from mscs_tpu.utils.logger import printlog
+
+# Honor JAX_PLATFORMS even when a hardware device plugin would override the
+# env var (the tunneled-TPU plugin does): `JAX_PLATFORMS=cpu python main.py
+# ...` must actually run on CPU (tests/conftest.py uses the same technique).
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def build_argparser() -> argparse.ArgumentParser:

@@ -135,7 +135,16 @@ def test_pallas_infonce_compiled_gradient_parity():
 @pytest.mark.parametrize("shift", [0, 3])
 def test_pallas_window_attn_compiled_gradient_parity(shift):
     """Compiled-mode fused window attention == the XLA einsum path
-    (fwd + grads) at a Swin-realistic width."""
+    (fwd + grads) at a Swin-realistic width.
+
+    Compared under ``jax.default_matmul_precision('highest')``: the
+    runtime's DEFAULT f32 MXU precision is bf16-pass-based and its exact
+    pass decomposition is libtpu-version-dependent — a runtime upgrade
+    between rounds 4 and 5 moved the two paths ~1e-2 apart at DEFAULT
+    while BOTH stayed ~1.4e-2 from exact-f32 CPU.  At 'highest' both
+    match CPU f32 to 2e-6 and each other to 5e-7 (r5 measurement), so
+    this pins kernel-vs-XLA SEMANTICS rather than the runtime's default
+    precision choice (PERF.md r2 fp32-mode precision audit)."""
     from mscs_tpu.models.swin import SwinBlock
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(2, 14, 14, 96)), jnp.float32)
@@ -143,19 +152,20 @@ def test_pallas_window_attn_compiled_gradient_parity(shift):
               mlp_ratio=4.0, qkv_bias=True, drop_path=0.0)
     blk_x = SwinBlock(**kw, attn_impl="xla")
     blk_p = SwinBlock(**kw, attn_impl="pallas")
-    params = blk_x.init(jax.random.key(0), x, False)
+    with jax.default_matmul_precision("highest"):
+        params = blk_x.init(jax.random.key(0), x, False)
 
-    ox = jax.jit(lambda p, x: blk_x.apply(p, x, False))(params, x)
-    op = jax.jit(lambda p, x: blk_p.apply(p, x, False))(params, x)
-    np.testing.assert_allclose(np.asarray(op), np.asarray(ox),
-                               rtol=1e-5, atol=1e-5)
+        ox = jax.jit(lambda p, x: blk_x.apply(p, x, False))(params, x)
+        op = jax.jit(lambda p, x: blk_p.apply(p, x, False))(params, x)
+        np.testing.assert_allclose(np.asarray(op), np.asarray(ox),
+                                   rtol=1e-5, atol=1e-5)
 
-    def grads(blk):
-        return jax.jit(jax.grad(
-            lambda p: (blk.apply(p, x, False) ** 2).mean()))(params)
+        def grads(blk):
+            return jax.jit(jax.grad(
+                lambda p: (blk.apply(p, x, False) ** 2).mean()))(params)
 
-    gx = jax.tree.flatten(grads(blk_x))[0]
-    gp = jax.tree.flatten(grads(blk_p))[0]
+        gx = jax.tree.flatten(grads(blk_x))[0]
+        gp = jax.tree.flatten(grads(blk_p))[0]
     for vx, vp in zip(gx, gp):
         np.testing.assert_allclose(np.asarray(vp), np.asarray(vx),
                                    rtol=1e-4, atol=1e-5)
