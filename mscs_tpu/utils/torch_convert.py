@@ -418,6 +418,59 @@ def convert_upernet_seg(sd: dict, graph_cfg: dict,
     return {"params": p, "batch_stats": bs}
 
 
+def convert_ocrnet_seg(sd: dict, graph_cfg: dict,
+                       variant: str = "hrnet48") -> dict:
+    """Full reference OCRNet seg model (``models/OCR.py:95-245``, HRNet
+    backbone) state_dict -> our ``OCRNet`` variables.  Torch naming pinned
+    by the reference constructors: ``interm_prediction_head.{0,1,4}``
+    (conv+bias, BN, cls conv — 2/3 are ReLU/Dropout),
+    ``conv_high_map.{0,1}``,
+    ``spatial_ocr_head.object_context_block.f_{pixel,object}.{0,1,3,4}``
+    (two bias-free conv-BN stacks), ``f_{down,up}.{0,1}``,
+    ``spatial_ocr_head.conv_bn_dropout.{0,1}``, ``conv_out`` — used by the
+    hrnetocr parity harness to start both frameworks from identical
+    weights."""
+    sd = strip_module_prefix(sd)
+    assert variant.startswith("hrnet"), (
+        "resnet-backboned OCRNet conversion not wired (the paper recipe "
+        "uses hrnet48)")
+    bb_sd = {k[len("backbone."):]: v for k, v in sd.items()
+             if k.startswith("backbone.")}
+    bb = convert_hrnet(bb_sd, variant)
+    p: dict[str, Any] = {"backbone": bb["params"]}
+    bs: dict[str, Any] = {"backbone": bb["batch_stats"]}
+
+    p["interm_cbr"], bs["interm_cbr"] = _convbn_node(
+        sd, "interm_prediction_head.0", "interm_prediction_head.1")
+    p["interm_cls"] = {"conv": {}}
+    convert_conv(sd, "interm_prediction_head.4", p["interm_cls"]["conv"])
+    p["conv_high_map"], bs["conv_high_map"] = _convbn_node(
+        sd, "conv_high_map.0", "conv_high_map.1")
+
+    ocb = "spatial_ocr_head.object_context_block"
+    so_p: dict[str, Any] = {"attn": {}}
+    so_b: dict[str, Any] = {"attn": {}}
+    for name, n_stacks in (("f_pixel", 2), ("f_object", 2),
+                           ("f_down", 1), ("f_up", 1)):
+        node_p, node_b = {}, {}
+        for i in range(n_stacks):
+            node_p[f"cbr{i}"], node_b[f"cbr{i}"] = _convbn_node(
+                sd, f"{ocb}.{name}.{3 * i}", f"{ocb}.{name}.{3 * i + 1}")
+        so_p["attn"][name] = node_p
+        so_b["attn"][name] = node_b
+    so_p["fuse"], so_b["fuse"] = _convbn_node(
+        sd, "spatial_ocr_head.conv_bn_dropout.0",
+        "spatial_ocr_head.conv_bn_dropout.1")
+    p["spatial_ocr"] = so_p
+    bs["spatial_ocr"] = so_b
+
+    p["conv_out"] = {"conv": {}}
+    convert_conv(sd, "conv_out", p["conv_out"]["conv"])
+
+    _convert_projectors(sd, graph_cfg, p, bs)
+    return {"params": p, "batch_stats": bs}
+
+
 def pad_variables(src: dict, template: dict) -> dict:
     """Embed an unpadded variable tree into a channel-padded template
     (zero-fill the extra channels).  Lets unpadded ImageNet checkpoints load

@@ -397,6 +397,114 @@ def run_ours_upn(sd0, batches, loss_name: str, total_steps: int,
     return curves, None
 
 
+# --------------------------------------------------------------- hrnetocr
+# The second ADE20K paper recipe (configs/ADE20K/hrnetocr_contrastive_
+# ADE20K.json): OCRNet(HRNet-W48) + TwoScale CE(0.4/1.0) [+ DC-ms-cs],
+# SGD lr 0.02 momentum .9 wd 1e-4 poly batchwise.  Reference OCR supports
+# ONLY hrnet48 (OCR.py:90-95), so this is W48-sized — keep --hw small.
+GRAPH_OCR = {
+    "model": "OCRNet", "dataset": "ADE20K", "backbone": "hrnet48",
+    "align_corners": True, "pretrained": False, "out_stride": 4,
+}
+MS_PROJECTOR_OCR = {"mlp": [[1, -1, 1]], "scales": 4, "d": 256,
+                    "use_bn": True, "before_context": True}
+LR_OCR, WD_OCR = 0.02, 1e-4
+
+
+def run_reference_ocr(batches, loss_name: str, total_steps: int,
+                      seed: int = 0):
+    import torch
+    from _reference_oracle import import_reference_module
+
+    torch.Tensor.cuda = lambda self, *a, **k: self  # CPU oracle
+    oc = import_reference_module("models.OCR")
+    lw = import_reference_module("losses.LossWrapper")
+    lrf = import_reference_module("utils.lr_functions")
+    torch.manual_seed(seed)
+
+    graph = dict(GRAPH_OCR)
+    if loss_name != "ce":
+        graph["ms_projector"] = {
+            k: ([list(x) for x in v] if k == "mlp" else v)
+            for k, v in MS_PROJECTOR_OCR.items()}
+    model = oc.OCRNet(graph, experiment=1)
+    model.train()
+    wrapper = lw.LossWrapper(_upn_loss_cfg(loss_name))
+    opt = torch.optim.SGD(model.parameters(), lr=LR_OCR, momentum=0.9,
+                          weight_decay=WD_OCR)
+    lr_fct = lrf.LRFcts({"learning_rate": LR_OCR, "lr_fct": "polynomial",
+                         "lr_batchwise": True, "lr_restart_vals": 1,
+                         "lr_params": {}}, [], total_steps)
+    sched = torch.optim.lr_scheduler.LambdaLR(opt, lr_fct)
+
+    sd0 = {k: v.detach().clone() for k, v in model.state_dict().items()}
+    curves = []
+    for img, lbl in batches:
+        x, y = torch.from_numpy(img), torch.from_numpy(lbl)
+        opt.zero_grad()
+        out = model(x)
+        if loss_name == "ce":
+            interm, logits = out
+            feats = None
+        else:
+            interm, logits, feats = out
+        loss = wrapper(logits, y, deep_features=feats,
+                       interm_prediction=interm, epoch=1)
+        loss.backward()
+        opt.step()
+        sched.step()
+        rec = {"loss": float(loss.detach())}
+        rec.update({k: float(v) for k, v in wrapper.loss_vals.items()})
+        curves.append(rec)
+        print(f"ref step {len(curves)-1}: {rec}", flush=True)
+    return sd0, curves, None
+
+
+def run_ours_ocr(sd0, batches, loss_name: str, total_steps: int,
+                 platform: str):
+    if platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    from mscs_tpu.losses import LossWrapper
+    from mscs_tpu.models import build_model
+    from mscs_tpu.train import (TrainState, build_optimizer, make_lr_schedule,
+                                make_train_step, output_flags)
+    from mscs_tpu.utils.torch_convert import convert_ocrnet_seg
+
+    graph = dict(GRAPH_OCR)
+    if loss_name != "ce":
+        graph["ms_projector"] = dict(MS_PROJECTOR_OCR)
+    model = build_model(graph, experiment=1)
+    wrapper = LossWrapper.from_config(_upn_loss_cfg(loss_name))
+    converted = convert_ocrnet_seg(sd0, graph, "hrnet48")
+
+    sched = make_lr_schedule(
+        {"learning_rate": LR_OCR, "lr_fct": "polynomial",
+         "lr_batchwise": True, "lr_params": {}}, [], total_steps)
+    tx = build_optimizer({"optim": "SGD", "momentum": 0.9,
+                          "weight_decay": WD_OCR}, sched,
+                         converted["params"])
+    state = TrainState.create(apply_fn=model.apply,
+                              params=converted["params"],
+                              batch_stats=converted["batch_stats"], tx=tx)
+    has_interm, has_proj = output_flags(graph)
+    step = jax.jit(make_train_step(wrapper, 150, has_interm=has_interm,
+                                   has_proj=has_proj))
+    curves = []
+    rng = jax.random.key(0)
+    for i, (img, lbl) in enumerate(batches):
+        batch = {"image": jnp.asarray(img.transpose(0, 2, 3, 1)),
+                 "label": jnp.asarray(lbl.astype(np.int32))}
+        state, logs = step(state, batch, jax.random.fold_in(rng, i), 1)
+        rec = {k: float(v) for k, v in logs.items()
+               if np.ndim(v) == 0 and k != "lr"}
+        curves.append(rec)
+        print(f"ours step {i}: {rec}", flush=True)
+    return curves, None
+
+
 def grad_check_f64():
     """One f64 forward+backward on the full hrnet48 seg model + CE from
     identical weights: proves fwd AND bwd semantics match the reference to
@@ -537,9 +645,11 @@ def endpoint_main(args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--loss", choices=["ce", "ms_cs"], default="ce")
-    ap.add_argument("--recipe", choices=["hrnet", "upnswin"], default="hrnet",
+    ap.add_argument("--recipe", choices=["hrnet", "upnswin", "hrnetocr"],
+                    default="hrnet",
                     help="upnswin = UPerNet Swin-T + TwoScale + AdamW "
-                         "warmup-poly + per-key wd (VERDICT r4 #8)")
+                         "warmup-poly + per-key wd (VERDICT r4 #8); "
+                         "hrnetocr = OCRNet(W48) + TwoScale + SGD .02")
     ap.add_argument("--steps", type=int, default=40)
     ap.add_argument("--bs", type=int, default=2)
     ap.add_argument("--hw", type=int, default=HW)
@@ -573,6 +683,12 @@ def main():
                                      args.platform)
         summary = summarize(ref_curves, our_curves, args.loss,
                             det_term="TwoScaleLoss")
+    elif args.recipe == "hrnetocr":
+        sd0, ref_curves, _ = run_reference_ocr(batches, args.loss, args.steps)
+        our_curves, _ = run_ours_ocr(sd0, batches, args.loss, args.steps,
+                                     args.platform)
+        summary = summarize(ref_curves, our_curves, args.loss,
+                            det_term="TwoScaleLoss")
     else:
         sd0, ref_curves, _ = run_reference(batches, args.loss, args.steps)
         our_curves, _ = run_ours(sd0, batches, args.loss, args.steps,
@@ -583,7 +699,7 @@ def main():
               "ref": ref_curves, "ours": our_curves}
     out = args.out or (f"logs/parity_{args.loss}.json"
                        if args.recipe == "hrnet"
-                       else f"logs/parity_upnswin_{args.loss}.json")
+                       else f"logs/parity_{args.recipe}_{args.loss}.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
