@@ -154,8 +154,12 @@ def _compiler_params(nwc, n, c, itemsize, heads, mask_cols, *, bwd: bool):
     bias = heads * n * n * 4
     mask = max(mask_cols, 1) * n * n * 4
     n_blocks = 7 if bwd else 4                   # q,k,v,(do,dq,dk,dv)|out
-    need = 2 * (n_blocks * block + bias + mask + (bias if bwd else 0))
-    need += 4 << 20                              # scratch/regalloc slack
+    # 4x the double-buffered block math: Mosaic's true scoped need runs
+    # well past it (measured 16.19M against a 15.7M block-math estimate at
+    # nwc=37, r5) — a generous LIMIT is free, an under-limit is a compile
+    # error.
+    need = 4 * n_blocks * block + 2 * (bias + mask + (bias if bwd else 0))
+    need += 8 << 20                              # scratch/regalloc slack
     return pltpu.CompilerParams(
         vmem_limit_bytes=max(16 << 20, min(need, _VMEM_CAP)))
 
