@@ -258,32 +258,37 @@ def window_attention_nhwc(q, k, v, bias, mask, *, num_heads: int,
         return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, nwr, nwc, n, c)
 
     qp, kp, vp = part(q), part(k), part(v)
+    # Wide window rows (whole-image eval/TTA shapes, e.g. 28x55) blow
+    # Mosaic's scoped-vmem budget per grid step (r5: "Scoped allocation
+    # with size 87.06M", logs/tta_swinl.log).  Windows are an order-free
+    # axis and the shift mask is per-window data, so re-chunk
+    # (nwr, nwc) -> (rows, chunk<=_NWC_MAX) with zero-padded tail windows
+    # (finite softmax over bias; output sliced away).  Gated to nwc >
+    # _NWC_MAX only: normalizing ALL grids toward 32-window rows measured
+    # ~4% SLOWER on the training shapes (swinT 43.3->41.6, swinL
+    # 19.4->18.7 img/s, r5) — the tail pad materializes q/k/v copies at
+    # the hot stages, which costs more than the saved grid-step overhead.
+    total = nwr * nwc
     if nwc > _NWC_MAX:
-        # Wide window rows (whole-image eval/TTA shapes, e.g. 28x55) blow
-        # Mosaic's scoped-vmem budget per grid step (r5: "Scoped allocation
-        # with size 87.06M", logs/tta_swinl.log).  Windows are an order-free
-        # axis and the shift mask is per-window data, so re-chunk
-        # (nwr, nwc) -> (ceil(nwr*nwc/_NWC_MAX), _NWC_MAX) with zero-padded
-        # tail windows (finite softmax over bias; output sliced away).
-        total = nwr * nwc
         rows = -(-total // _NWC_MAX)
-        pad = rows * _NWC_MAX - total
+        chunk = -(-total // rows)             # minimal-pad chunking
+        pad = rows * chunk - total
 
         def rechunk(x):
             x = x.reshape(b, total, n, c)
             if pad:
                 x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
-            return x.reshape(b, rows, _NWC_MAX, n, c)
+            return x.reshape(b, rows, chunk, n, c)
 
         qp, kp, vp = rechunk(qp), rechunk(kp), rechunk(vp)
         if mask.shape[:2] != (1, 1):
             m = mask.reshape(total, n, n)
             if pad:
                 m = jnp.pad(m, ((0, pad), (0, 0), (0, 0)))
-            mask = m.reshape(rows, _NWC_MAX, n, n)
+            mask = m.reshape(rows, chunk, n, n)
         o = _window_attn(qp, kp, vp, bias.astype(jnp.float32), mask,
                          num_heads, scale)
-        o = o.reshape(b, rows * _NWC_MAX, n, c)[:, :total]
+        o = o.reshape(b, rows * chunk, n, c)[:, :total]
         o = o.reshape(b, nwr, nwc, n, c)
     else:
         o = _window_attn(qp, kp, vp, bias.astype(jnp.float32),
