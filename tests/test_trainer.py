@@ -202,3 +202,17 @@ def test_trainer_steps_per_call_equivalence(tmp_path):
                     jax.tree.leaves(t2.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
     np.testing.assert_allclose(s1["loss"], s2["loss"], rtol=0.05)
+
+
+@pytest.mark.slow
+def test_per_replica_anchors_explicit_int(tmp_path):
+    """ADVICE r4 integration: an explicit integer pins the anchor-group
+    count independent of the mesh (resolve_anchor_groups returns it
+    verbatim rather than the device count); the full train loop must run
+    with the pinned grouping."""
+    cfg = _tiny_config(tmp_path)
+    cfg["loss"]["per_replica_anchors"] = 2
+    trainer = Trainer(cfg)
+    assert trainer.loss_wrapper is not None
+    metrics = trainer.train()
+    assert np.isfinite(metrics["best_loss"])
