@@ -17,7 +17,7 @@ RECIPES = {
 }
 
 
-def build_recipe_setup(recipe: str, bs: int, hw: int, fp32: bool = False,
+def build_recipe_setup(recipe: str, bs: int, hw, fp32: bool = False,
                        max_features: int = 2048, infonce: str | None = None,
                        graph_overrides: dict | None = None):
     """Returns (state, step_fn, batch_dict, n_cls). Call before other jax use."""
@@ -52,9 +52,10 @@ def build_recipe_setup(recipe: str, bs: int, hw: int, fp32: bool = False,
 
     model = build_model(graph, experiment=experiment)
     wrapper = LossWrapper.from_config(lw_cfg)
-    x = jnp.ones((bs, hw, hw, 3), jnp.float32)
+    h, w = (hw, hw) if isinstance(hw, int) else hw
+    x = jnp.ones((bs, h, w, 3), jnp.float32)
     y = jnp.asarray(np.random.default_rng(0).integers(
-        0, n_cls, (bs, hw, hw)), jnp.int32)
+        0, n_cls, (bs, h, w)), jnp.int32)
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.key(0), x, train=False)
     n_params = sum(p.size for p in jax.tree.leaves(variables["params"]))

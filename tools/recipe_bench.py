@@ -25,7 +25,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("recipe", choices=sorted(RECIPES))
     ap.add_argument("--bs", type=int, default=8)
-    ap.add_argument("--hw", type=int, default=512)
+    ap.add_argument("--hw", type=int, nargs="+", default=[512],
+                    help="crop H [W]; one value = square (the paper CTS "
+                         "crop is --hw 512 1024)")
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--max-features", type=int, default=2048,
                     help="cap on loss.max_features_total; pass 10000 for "
@@ -40,8 +42,9 @@ def main():
     import jax
     from _recipe_setup import build_recipe_setup
     from mscs_tpu.parallel import make_mesh, replicate, shard_batch
+    hw = args.hw[0] if len(args.hw) == 1 else tuple(args.hw[:2])
     state, step, batch, _ = build_recipe_setup(
-        args.recipe, args.bs, args.hw, fp32=args.fp32,
+        args.recipe, args.bs, hw, fp32=args.fp32,
         max_features=args.max_features, infonce=args.infonce,
         graph_overrides=json.loads(args.graph_override)
         if args.graph_override else None)
@@ -65,7 +68,8 @@ def main():
     last = float(logs["loss"])
     dt = time.perf_counter() - t0
     print(f"loss {first:.4f} -> {last:.4f} over {n} steps")
-    print(f"{args.recipe} bs{args.bs} {args.hw}^2 "
+    hw_tag = (f"{hw}^2" if isinstance(hw, int) else f"{hw[0]}x{hw[1]}")
+    print(f"{args.recipe} bs{args.bs} {hw_tag} "
           f"{'fp32' if args.fp32 else 'bf16'}: "
           f"{args.bs * n / dt:.1f} img/s ({dt / n * 1000:.1f} ms/step)")
 
